@@ -1,0 +1,238 @@
+"""The mixed-correlation operator K + eta*I.
+
+TPU-native redesign of the reference's ``MixedCorrelation`` wrapper over
+imate (reference: gaussian_proc/_mixed_correlation/mixed_correlation.py:25-335).
+Same public surface — ``trace``, ``traceinv``, ``logdet``, ``solve``,
+``dot``, ``get_matrix_size`` with an ``eta`` parameter and optional integer
+``exponent`` — but the methods are backed by XLA/Pallas paths instead of
+external native code:
+
+* ``eigenvalue``: one ``jnp.linalg.eigh`` up front, then every trace /
+  traceinv / logdet / solve at any eta is a diagonal operation in the
+  eigenbasis (O(n) / O(n m)). This is the default, as in the reference
+  (likelihood.py:41). The eigenbasis is exposed (``eigenvalues``,
+  ``rotate``) so the likelihood layer can run entirely in rotated
+  coordinates — each likelihood evaluation then costs O(n m) with **no**
+  n x n solve at all, which is the main algorithmic win over the
+  reference's repeated full solves.
+* ``cholesky``: per-eta factorization; exact logdet/traceinv from the
+  factor (the role of imate's cholesky method,
+  mixed_correlation.py:183-191,250-261).
+* ``hutchinson`` / ``slq``: stochastic estimators with probe vectors
+  vmapped on-chip and shardable across the mesh
+  (see gppe_tpu.ops.stochastic; the affine trick — one Lanczos
+  tridiagonalization reused for every eta — replaces
+  imate.AffineMatrixFunction).
+* ``interpolate=True``: rational interpolation of eta -> traceinv
+  (imate.InterpolateTraceInv's role, mixed_correlation.py:52-66).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import linalg
+
+
+@partial(jax.jit, static_argnames=("exponent",))
+def _spectral_sum_pow(lam, eta, exponent):
+    return jnp.sum((lam + eta) ** exponent)
+
+
+@jax.jit
+def _spectral_logdet(lam, eta):
+    return jnp.sum(jnp.log(lam + eta))
+
+
+@jax.jit
+def _spectral_solve(lam, Q, eta, Y):
+    Yt = Q.T @ Y
+    D = 1.0 / (lam + eta)
+    if Y.ndim == 1:
+        return Q @ (D * Yt)
+    return Q @ (D[:, None] * Yt)
+
+
+@jax.jit
+def _dense_solve(K, eta, Y):
+    n = K.shape[0]
+    Kn = K + eta * jnp.eye(n, dtype=K.dtype)
+    L = linalg.cholesky_factor(Kn)
+    return linalg.cholesky_solve(L, Y)
+
+
+class MixedCorrelation:
+    """Operator view of K + eta*I with pluggable trace/solve backends."""
+
+    def __init__(self, K, method="eigenvalue", interpolate=False,
+                 interpolant_points=None, options=None, dtype=None):
+        """``dtype`` controls the precision of the on-device factorizations
+        (eigh/cholesky/matvecs). Default: float32 on TPU (f64 there is
+        unusably slow emulation), x64 policy on CPU. The *inference
+        scalars* built from this operator are separately promoted to
+        float64 on the host — see direct_likelihood.make_spectral_data.
+        """
+        from ..utils.config import compute_dtype
+        self.dtype = dtype or compute_dtype()
+        if not hasattr(K, "matvec"):
+            K = jnp.asarray(K, dtype=self.dtype)
+        self.K = K
+        self.method = method
+        self.options = dict(options or {})
+        self.interpolate = interpolate
+        self._traceinv_interp = None
+
+        if hasattr(K, "matvec"):
+            # Matrix-free operator: only stochastic methods apply.
+            if method in ("eigenvalue", "cholesky"):
+                raise ValueError(
+                    f"method={method!r} requires a materialized K; use "
+                    "'slq' or 'hutchinson' for matrix-free operators")
+            self.n = K.shape[0]
+            self.eigenvalues = None
+            self.eigenvectors = None
+        else:
+            self.n = self.K.shape[0]
+            if method == "eigenvalue":
+                lam, Q = jnp.linalg.eigh(self.K)
+                self.eigenvalues = lam
+                self.eigenvectors = Q
+            else:
+                self.eigenvalues = None
+                self.eigenvectors = None
+
+        if method in ("slq", "hutchinson"):
+            from ..ops import stochastic
+            self._stoch = stochastic.StochasticTraceEngine(
+                self.K, **self.options)
+        else:
+            self._stoch = None
+
+        if interpolate:
+            from ..ops import interpolate as interp_mod
+            if interpolant_points is None:
+                interpolant_points = jnp.logspace(-4, 3, 8)
+            self._traceinv_interp = interp_mod.TraceinvInterpolator(
+                self, jnp.asarray(interpolant_points,
+                                  dtype=jnp.result_type(0.0)))
+
+    # -- basic queries ----------------------------------------------------
+
+    def get_matrix_size(self):
+        return self.n
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    def rotate(self, V):
+        """Q^T V — coordinates in the eigenbasis (eigenvalue method only).
+
+        Full-f32 accumulation (precision='highest'): the TPU default matmul
+        precision is bf16-grade, which is not enough for the likelihood's
+        cancellations.
+        """
+        if self.eigenvectors is None:
+            raise ValueError("rotate() requires method='eigenvalue'")
+        V = jnp.asarray(V, dtype=self.dtype)
+        return jnp.matmul(self.eigenvectors.T, V, precision="highest")
+
+    # -- trace family -----------------------------------------------------
+
+    def trace(self, eta, exponent=1):
+        """trace((K + eta I)^exponent); exact for exponent in {0,1,2} via
+        the binomial expansion (reference mixed_correlation.py:108-125),
+        spectral or stochastic otherwise."""
+        eta = jnp.asarray(eta)
+        if exponent == 0:
+            return jnp.asarray(float(self.n), dtype=jnp.result_type(eta, 0.0))
+        if exponent == 1:
+            return self._trace_K(1) + eta * self.n
+        if exponent == 2:
+            return (self._trace_K(2) + 2.0 * eta * self._trace_K(1)
+                    + eta ** 2 * self.n)
+        if self.eigenvalues is not None:
+            return _spectral_sum_pow(self.eigenvalues, eta, exponent)
+        if self._stoch is not None:
+            return self._stoch.trace_pow(eta, exponent)
+        raise ValueError("trace with exponent>2 needs eigenvalue or "
+                         "stochastic method")
+
+    def _trace_K(self, exponent):
+        if self.eigenvalues is not None:
+            return _spectral_sum_pow(self.eigenvalues, 0.0, exponent)
+        if hasattr(self.K, "trace_pow"):
+            return self.K.trace_pow(exponent)
+        if exponent == 1:
+            return jnp.trace(self.K)
+        if exponent == 2:
+            return jnp.sum(self.K * self.K)
+        raise ValueError(exponent)
+
+    def traceinv(self, eta, exponent=1):
+        """trace((K + eta I)^-exponent)."""
+        eta = jnp.asarray(eta)
+        if self._traceinv_interp is not None and exponent == 1:
+            return self._traceinv_interp(eta)
+        if self.eigenvalues is not None:
+            return _spectral_sum_pow(self.eigenvalues, eta, -exponent)
+        if self.method == "cholesky":
+            L = self._factor(eta)
+            return linalg.cholesky_traceinv(L, exponent)
+        if self._stoch is not None:
+            return self._stoch.traceinv(eta, exponent)
+        raise ValueError(f"no traceinv backend for method={self.method!r}")
+
+    def logdet(self, eta, exponent=1):
+        """exponent * log det(K + eta I) (reference mixed_correlation.py:221-274)."""
+        eta = jnp.asarray(eta)
+        if self.eigenvalues is not None:
+            return exponent * _spectral_logdet(self.eigenvalues, eta)
+        if self.method in ("cholesky", "hutchinson"):
+            # hutchinson has no logdet; reference also falls back to
+            # cholesky there (mixed_correlation.py:250-261).
+            L = self._factor(eta)
+            return exponent * linalg.cholesky_logdet(L)
+        if self._stoch is not None:
+            return exponent * self._stoch.logdet(eta)
+        raise ValueError(f"no logdet backend for method={self.method!r}")
+
+    # -- solve / dot ------------------------------------------------------
+
+    def _factor(self, eta):
+        Kn = self.K + jnp.asarray(eta) * jnp.eye(self.n, dtype=self.K.dtype)
+        return linalg.cholesky_factor(Kn)
+
+    def solve(self, eta, Y, tol=1e-6):
+        """(K + eta I)^-1 Y (reference mixed_correlation.py:280-299)."""
+        Y = jnp.asarray(Y)
+        if self.eigenvalues is not None:
+            return _spectral_solve(self.eigenvalues, self.eigenvectors,
+                                   jnp.asarray(eta), Y)
+        if hasattr(self.K, "matvec"):
+            matvec = lambda V: self.K.matmat(V) + jnp.asarray(eta) * V  # noqa: E731
+            return linalg.cg_solve(matvec, Y, tol=tol)
+        return _dense_solve(self.K, jnp.asarray(eta), Y)
+
+    def dot(self, eta, x, exponent=1):
+        """(K + eta I)^exponent x — with *correct* power semantics.
+
+        Note: the reference's implementation accumulates q*(K x + eta x)
+        instead of applying the operator q times
+        (mixed_correlation.py:328-335, a latent bug it never hits with
+        exponent>1 on the regular path); here the power is applied
+        properly.
+        """
+        if not isinstance(exponent, int) or exponent < 0:
+            raise ValueError("exponent must be a non-negative integer")
+        x = jnp.asarray(x)
+        eta = jnp.asarray(eta)
+        y = x
+        for _ in range(exponent):
+            if hasattr(self.K, "matvec"):
+                Ky = self.K.matmat(y) if y.ndim > 1 else self.K.matvec(y)
+            else:
+                Ky = self.K @ y
+            y = Ky + eta * y
+        return y

@@ -25,13 +25,16 @@ def _dense_correlation_jit(points, scale, nu, nu_static):
     return kernels.matern(d, nu_arg)
 
 
-def dense_correlation(points, scale, nu):
+def dense_correlation(points, scale, nu, dtype=None):
     """Dense Matern correlation matrix K (n x n) from points (n x d).
 
-    ``nu`` static floats trace a single kernel branch.
+    ``nu`` static floats trace a single kernel branch. Assembly runs in
+    the compute dtype (f32 on TPU) regardless of the x64 mode — the
+    inference layer re-promotes what it needs.
     """
-    points = jnp.asarray(points)
-    scale = kernels.broadcast_scale(scale, points.shape[1])
+    from ..utils.config import compute_dtype
+    points = jnp.asarray(points, dtype=dtype or compute_dtype())
+    scale = kernels.broadcast_scale(scale, points.shape[1]).astype(points.dtype)
     if isinstance(nu, (int, float)):
         return _dense_correlation_jit(points, scale, 0.0, float(nu))
     return _dense_correlation_jit(points, scale, nu, None)

@@ -1,0 +1,54 @@
+"""Chandrupatla + bracketing (reference _root_finding.py:21-309 semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gppe_tpu.ops import root_finding
+
+
+def test_chandrupatla_scalar():
+    f = lambda x: x ** 3 - 2 * x - 5  # root ~ 2.0945514815
+    root, it = root_finding.chandrupatla(f, 1.0, 3.0)
+    np.testing.assert_allclose(float(root), 2.0945514815423265, rtol=1e-10)
+
+
+def test_chandrupatla_vectorized():
+    targets = jnp.array([1.0, 4.0, 9.0, 16.0])
+    f = lambda x: x ** 2 - targets
+    root, it = root_finding.chandrupatla(
+        f, jnp.zeros(4), jnp.full(4, 10.0))
+    np.testing.assert_allclose(np.asarray(root), [1.0, 2.0, 3.0, 4.0],
+                               rtol=1e-9)
+
+
+def test_chandrupatla_flat_function():
+    # Root at 0 of an odd, very flat function
+    f = lambda x: x ** 3
+    root, _ = root_finding.chandrupatla(f, -1.0, 2.0)
+    assert abs(float(root)) < 1e-4
+
+
+def test_bracket_found_directly():
+    f = lambda x: x - 0.5
+    found, bracket, vals = root_finding.find_interval_with_sign_change(
+        f, [0.0, 1.0], 3)
+    assert found
+    assert np.sign(vals[0]) != np.sign(vals[1])
+
+
+def test_bracket_extension():
+    # No sign change in [0, 1]; root at x=1.8 — must extend right.
+    # (The reference's policy extends by half the interval per trial and
+    # can only reach x1 + (x1 - x0); 1.8 < 2.0 is reachable.)
+    f = lambda x: x - 1.8
+    found, bracket, vals = root_finding.find_interval_with_sign_change(
+        f, [0.0, 1.0], 6)
+    assert found
+    assert np.sign(vals[0]) != np.sign(vals[1])
+
+
+def test_bracket_not_found():
+    f = lambda x: 1.0 + x * 0
+    found, bracket, vals = root_finding.find_interval_with_sign_change(
+        f, [0.0, 1.0], 3)
+    assert not found
