@@ -172,9 +172,12 @@ class MixedCorrelation:
 
     def traceinv(self, eta, exponent=1):
         """trace((K + eta I)^-exponent)."""
-        eta = jnp.asarray(eta)
         if self._traceinv_interp is not None and exponent == 1:
-            return self._traceinv_interp(eta)
+            return self._traceinv_interp(jnp.asarray(eta))
+        return self._traceinv_exact(eta, exponent)
+
+    def _traceinv_exact(self, eta, exponent=1):
+        eta = jnp.asarray(eta)
         if self.eigenvalues is not None:
             return _spectral_sum_pow(self.eigenvalues, eta, -exponent)
         if self.method == "cholesky":
@@ -211,8 +214,8 @@ class MixedCorrelation:
             return _spectral_solve(self.eigenvalues, self.eigenvectors,
                                    jnp.asarray(eta), Y)
         if hasattr(self.K, "matvec"):
-            matvec = lambda V: self.K.matmat(V) + jnp.asarray(eta) * V  # noqa: E731
-            return linalg.cg_solve(matvec, Y, tol=tol)
+            return linalg.cg_solve(self.K.matmat, Y, tol=tol,
+                                   shift=jnp.asarray(eta))
         return _dense_solve(self.K, jnp.asarray(eta), Y)
 
     def dot(self, eta, x, exponent=1):

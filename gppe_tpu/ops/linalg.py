@@ -46,21 +46,39 @@ def cholesky_traceinv(L, exponent: int = 1):
     raise ValueError("exponent must be 1 or 2")
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
-def cg_solve(A, B, tol=1e-6, max_iter=1000, M_diag=None):
-    """Batched conjugate gradient for SPD ``A`` (dense matrix or implicit).
+@partial(jax.jit, static_argnames=("A", "max_iter"))
+def _cg_solve_callable(A, B, shift, tol, max_iter, M_diag):
+    return _cg_body(lambda V: A(V) + shift * V, B, tol, max_iter, M_diag)
 
-    ``A``: (n, n) array or a pytree-free callable matvec on (n, k).
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _cg_solve_dense(A, B, shift, tol, max_iter, M_diag):
+    mv = lambda V: jnp.matmul(A, V, precision="highest") + shift * V  # noqa: E731
+    return _cg_body(mv, B, tol, max_iter, M_diag)
+
+
+def cg_solve(A, B, tol=1e-6, max_iter=1000, M_diag=None, shift=0.0):
+    """Batched conjugate gradient for SPD ``A + shift I``.
+
+    ``A``: (n, n) array or a callable matvec on (n, k). Pass a *stable*
+    callable (e.g. a bound method) — it is a static jit argument, so a
+    fresh lambda per call would recompile every time. ``shift`` is traced,
+    so one compilation serves every eta of the affine family.
     ``B``: (n,) or (n, k) right-hand sides solved simultaneously (each
     column has its own alpha/beta — a batched CG, the TPU-friendly
     replacement for the reference's per-column scipy CG loop
     (_linear_solver.py:49-60)).
     Runs a fixed-shape while_loop with per-column convergence masking.
     """
+    B = jnp.asarray(B)
+    shift = jnp.asarray(shift, dtype=B.dtype)
+    tol = jnp.asarray(tol, dtype=B.dtype)
     if callable(A):
-        matvec = A
-    else:
-        matvec = lambda V: A @ V  # noqa: E731
+        return _cg_solve_callable(A, B, shift, tol, max_iter, M_diag)
+    return _cg_solve_dense(jnp.asarray(A), B, shift, tol, max_iter, M_diag)
+
+
+def _cg_body(matvec, B, tol, max_iter, M_diag):
 
     b_was_vector = B.ndim == 1
     if b_was_vector:
