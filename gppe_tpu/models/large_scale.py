@@ -1,0 +1,248 @@
+"""Large-N likelihood engine: one Krylov factorization, O(k^2) per eta.
+
+The reference's scaling path (SURVEY.md §3.2, §5.7) evaluates the profile
+derivative at a sequence of etas, each eval doing fresh O(n^3)/O(n^2)
+solves + traces. The TPU-native design factors the *entire* eta-dependence
+out of the large-n work:
+
+1. ONE batched Lanczos pass on the accelerator tridiagonalizes K against
+   the augmented right-hand-side block [z, X] (for solves) and random
+   probes (for traces): O(k) fused Matern matvecs total, each a
+   multi-RHS matmul onto the MXU (K never materialized — see
+   gppe_tpu.ops.operators / pallas_kernels).
+2. The small projections U (basis . data) and G (basis . basis Grams) are
+   computed on-device once and shipped to the host.
+3. EVERY subsequent quantity at ANY eta — solves, B = X^T Kn^-1 X, zMz,
+   ||Mz||^2, trace(Kn^-1) — is k-dimensional float64 host arithmetic:
+   (T_j + eta)^-1 solves of k x k tridiagonals plus tiny matmuls.
+   Thousands of likelihood-derivative evaluations per second at n = 10^5,
+   versus the reference's seconds *per* evaluation.
+
+This is the engine behind the profile-likelihood MLE at scale and the
+N=100k benchmark config (BASELINE.json).
+"""
+
+import numpy as np
+
+from ..ops import root_finding, stochastic
+
+
+def _tridiag_solve_e1(alpha, beta, eta, rhs0):
+    """Solve (T + eta I) y = rhs0 * e1 for the tridiagonal T given by
+    diagonals alpha (k,), off-diagonals beta (k-1,). Thomas algorithm in
+    float64."""
+    k = alpha.shape[0]
+    a = alpha + eta
+    c_prime = np.empty(k - 1) if k > 1 else np.empty(0)
+    d_prime = np.empty(k)
+    denom = a[0]
+    d_prime[0] = rhs0 / denom
+    for i in range(1, k):
+        c_prime[i - 1] = beta[i - 1] / denom
+        denom = a[i] - beta[i - 1] * c_prime[i - 1]
+        d_prime[i] = (0.0 - beta[i - 1] * d_prime[i - 1]) / denom
+    y = np.empty(k)
+    y[-1] = d_prime[-1]
+    for i in range(k - 2, -1, -1):
+        y[i] = d_prime[i] - c_prime[i] * y[i + 1]
+    return y
+
+
+class KrylovProfileLikelihood:
+    """Profile-likelihood MLE over eta on a matrix-free operator."""
+
+    def __init__(self, operator, X, z, lanczos_steps=80, num_probes=16,
+                 key=0):
+        import jax.numpy as jnp
+        from ..utils.config import compute_dtype
+
+        dtype = compute_dtype()
+        X = np.asarray(X, dtype=np.float64)
+        z = np.asarray(z, dtype=np.float64)
+        self.n, self.m = X.shape
+        self.s = self.m + 1
+        self.k = lanczos_steps
+
+        # Augmented RHS block [z, X]
+        A = np.concatenate([z[:, None], X], axis=1)
+        self.rhs_norms = np.linalg.norm(A, axis=0)
+        A_dev = jnp.asarray(A, dtype=dtype)
+
+        matvec = operator.matmat if hasattr(operator, "matmat") else (
+            lambda V: operator @ V)
+
+        # 1) one batched Lanczos pass for the solve bases
+        alphas, betas, V = stochastic.lanczos(matvec, A_dev, lanczos_steps,
+                                              reorthogonalize=True)
+        self.alphas = np.asarray(alphas, dtype=np.float64)   # (s, k)
+        self.betas = np.asarray(betas, dtype=np.float64)     # (s, k-1)
+
+        # 2) small projections, computed on-device then shipped to host:
+        #    U[j, :, t] = V_j . a_t       (s, k, s)
+        #    G[i, j, a, b] = V_i[a] . V_j[b]   (s, s, k, k)
+        U = jnp.einsum("knj,nt->jkt", V, A_dev,
+                       precision="highest")
+        Vm = jnp.transpose(V, (2, 0, 1)).reshape(self.s * self.k, self.n)
+        G = jnp.matmul(Vm, Vm.T, precision="highest")
+        self.U = np.asarray(U, dtype=np.float64)
+        self.G = np.asarray(G, dtype=np.float64).reshape(
+            self.s, self.k, self.s, self.k).transpose(0, 2, 1, 3)
+
+        # 3) trace engine on the same operator (affine in eta)
+        self.traces = stochastic.StochasticTraceEngine(
+            operator, num_probes=num_probes, lanczos_steps=lanczos_steps,
+            key=key)
+
+    # -- per-eta small math ----------------------------------------------
+
+    def _solve_coeffs(self, eta):
+        """y_j = (T_j + eta)^-1 ||a_j|| e1 for every RHS j. (s, k)."""
+        Y = np.empty((self.s, self.k))
+        for j in range(self.s):
+            Y[j] = _tridiag_solve_e1(self.alphas[j], self.betas[j], eta,
+                                     self.rhs_norms[j])
+        return Y
+
+    def _eta_stats(self, eta):
+        """All profile-likelihood ingredients at one eta (host f64)."""
+        y = self._solve_coeffs(eta)
+        s, m = self.s, self.m
+
+        # C[t, j] = a_t . Kn^-1 a_j  (via basis j)
+        C = np.einsum("jkt,jk->tj", self.U, y)
+        # Gram of solution vectors: S2[i, j] = u_i . u_j
+        S2 = np.einsum("ia,ijab,jb->ij", y, self.G, y)
+
+        B = C[1:, 1:]
+        B = 0.5 * (B + B.T)
+        Ytz = C[0, 1:]
+        zw = C[0, 0]
+
+        Binv = np.linalg.inv(B)
+        c = Binv @ Ytz
+        zMz = zw - Ytz @ c
+        ww = S2[0, 0]
+        wY = S2[0, 1:]
+        YtY = S2[1:, 1:]
+        zM2z = ww - 2.0 * (wY @ c) + c @ (YtY @ c)
+
+        trace_Kninv = self.traces.traceinv(eta)
+        trace_BinvYtY = np.trace(Binv @ YtY)
+        trace_M = trace_Kninv - trace_BinvYtY
+        return {
+            "B": B, "Binv": Binv, "zMz": zMz, "zM2z": zM2z,
+            "trace_M": trace_M, "trace_Kninv": trace_Kninv,
+        }
+
+    def der1(self, log_eta):
+        """d lp / d eta at the profiled sigma (identity of reference
+        _profile_likelihood.py:91-132), from Krylov pieces."""
+        eta = 10.0 ** float(log_eta)
+        st = self._eta_stats(eta)
+        sigma2 = st["zMz"] / (self.n - self.m)
+        return -0.5 * (st["trace_M"] - st["zM2z"] / sigma2)
+
+    def find_optimal_sigma(self, eta):
+        st = self._eta_stats(eta)
+        return float(np.sqrt(st["zMz"] / (self.n - self.m)))
+
+    def log_likelihood(self, sigma, eta):
+        """Profile-form lp (reference _profile_likelihood.py:76-78) with
+        SLQ logdet."""
+        st = self._eta_stats(eta)
+        logdet_Kn = self.traces.logdet(eta)
+        sign, logdet_B = np.linalg.slogdet(st["B"])
+        return (-0.5 * (self.n - self.m) * np.log(sigma ** 2)
+                - 0.5 * logdet_Kn - 0.5 * logdet_B
+                - 0.5 / sigma ** 2 * st["zMz"])
+
+    def solve_residual(self, eta):
+        """Lanczos-solve residual norms per RHS: |beta_k * y_k| — the
+        classic CG/Lanczos residual estimate. Diagnostics for choosing
+        lanczos_steps."""
+        y = self._solve_coeffs(eta)
+        last_beta = self.betas[:, -1] if self.k > 1 else np.zeros(self.s)
+        return np.abs(last_beta * y[:, -1])
+
+    # -- MLE driver -------------------------------------------------------
+
+    def fit(self, interval_eta=(1e-4, 1e3), tol=1e-6, max_iterations=100,
+            num_bracket_trials=3, verbose=False):
+        """Root of d lp/d eta (reference find_log_likelihood_der1_zeros,
+        _profile_likelihood.py:244-415). Boundary fallback uses the der1
+        signs at the interval ends (the der2-at-zero refinement needs
+        exact solves; at this scale the bracket essentially always
+        exists)."""
+        lo = float(np.log10(interval_eta[0]))
+        hi = float(np.log10(interval_eta[1]))
+
+        found, bracket, fvals = root_finding.find_interval_with_sign_change(
+            self.der1, [lo, hi], num_bracket_trials, verbose=verbose)
+        if found:
+            # host-side Chandrupatla on the f64 scalar function
+            root, iters = _chandrupatla_scalar(
+                self.der1, bracket[0], bracket[1], fvals[0], fvals[1],
+                tol=tol, max_iter=max_iterations)
+            eta = 10.0 ** root
+            sigma = self.find_optimal_sigma(eta)
+            return {"sigma": sigma, "sigma0": float(np.sqrt(eta) * sigma),
+                    "eta": float(eta), "success": True,
+                    "iterations": int(iters)}
+
+        # no sign change: boundary optimum by derivative signs
+        if fvals[0] < 0 and fvals[1] < 0:
+            eta = 0.0
+        else:
+            eta = np.inf
+        if eta == 0.0:
+            sigma = self.find_optimal_sigma(0.0)
+            return {"sigma": sigma, "sigma0": 0.0, "eta": 0.0,
+                    "success": True, "iterations": 0}
+        # eta -> inf: sigma = 0, sigma0 = OLS residual std
+        return {"sigma": 0.0, "sigma0": float(self._sigma0_ols()),
+                "eta": np.inf, "success": True, "iterations": 0}
+
+    def _sigma0_ols(self):
+        # from the stored projections at a huge eta the Krylov solve
+        # degenerates; use the exact identity instead: OLS residual via
+        # the raw data Grams contained in U at step 0 is not available,
+        # so recompute cheaply from C at large eta: Kn^-1 ~ I/eta.
+        eta = 1e12
+        st = self._eta_stats(eta)
+        sigma02 = st["zMz"] * eta / (self.n - self.m)
+        return np.sqrt(sigma02)
+
+
+def _chandrupatla_scalar(f, x0, x1, f0, f1, tol=1e-6, max_iter=100):
+    """Scalar host-side Chandrupatla (float64, python floats)."""
+    b, a = x0, x1
+    fb, fa = f0, f1
+    c, fc = a, fa
+    t = 0.5
+    iters = 0
+    while iters < max_iter:
+        xt = a + t * (b - a)
+        ft = f(xt)
+        if np.sign(ft) == np.sign(fa):
+            c, fc = a, fa
+        else:
+            c, b, fc, fb = b, a, fb, fa
+        a, fa = xt, ft
+        if abs(fa) < abs(fb):
+            xm, fm = a, fa
+        else:
+            xm, fm = b, fb
+        tol_x = 2 * tol * abs(xm) + tol
+        tlim = tol_x / max(abs(b - c), 1e-300)
+        if fm == 0 or tlim > 0.5:
+            return xm, iters
+        xi = (a - b) / (c - b)
+        phi = (fa - fb) / (fc - fb)
+        if phi ** 2 < xi and (1 - phi) ** 2 < 1 - xi:
+            t = (fa / (fb - fa) * fc / (fb - fc)
+                 + (c - a) / (b - a) * fa / (fc - fa) * fb / (fc - fb))
+        else:
+            t = 0.5
+        t = min(1 - tlim, max(tlim, t))
+        iters += 1
+    return xm, iters

@@ -1,0 +1,130 @@
+"""Matrix-free linear operators: K@V without materializing K.
+
+The reference can only scale by storing a tapered CSR matrix
+(reference: gaussian_proc/generate_correlation/_generate_sparse_correlation.pyx)
+because its compute model is "assemble, then hand to imate". On TPU the
+right primitive is an *assembly-free* matvec: correlation tiles are
+(re)computed from the points on the fly, fused with the multiply, so K
+never exists in HBM — O(n) memory at O(n^2) compute, which is exactly what
+the MXU/VPU want. N = 2^20 needs 8 MB for points instead of 4 TB for K.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import kernels
+from ..utils.config import compute_dtype
+
+
+@partial(jax.jit, static_argnames=("nu", "block_rows"))
+def _matern_matmat_blocked(points, scale, V, nu, block_rows):
+    """K @ V by row blocks: each block's correlation tile is computed,
+    multiplied, and discarded. lax.map keeps one compiled tile program."""
+    n, d = points.shape
+    num_blocks = (n + block_rows - 1) // block_rows
+    n_pad = num_blocks * block_rows
+    pts_pad = jnp.pad(points, ((0, n_pad - n), (0, 0)))
+
+    def block(i):
+        rows = jax.lax.dynamic_slice(
+            pts_pad, (i * block_rows, 0), (block_rows, d))
+        dist = kernels.pairwise_scaled_distance(rows, points, scale)
+        Kblk = kernels.matern(dist, nu)
+        return jnp.matmul(Kblk, V, precision="highest")
+
+    out = jax.lax.map(block, jnp.arange(num_blocks))
+    return out.reshape(n_pad, V.shape[1])[:n]
+
+
+@partial(jax.jit, static_argnames=("nu", "block_rows"))
+def _matern_frobenius2_blocked(points, scale, nu, block_rows):
+    """||K||_F^2 = trace(K^2), computed blockwise without storing K."""
+    n, d = points.shape
+    num_blocks = (n + block_rows - 1) // block_rows
+    n_pad = num_blocks * block_rows
+    # Padded points sit far away AND mutually distinct, so each padded row
+    # contributes exactly one matern(0)=1 diagonal entry (subtracted by
+    # the caller).
+    if n_pad > n:
+        far = 1e6 * (2.0 + jnp.arange(n_pad - n, dtype=points.dtype))
+        pad_pts = jnp.zeros((n_pad - n, d), dtype=points.dtype)
+        pad_pts = pad_pts.at[:, 0].set(far)
+        pts_pad = jnp.concatenate([points, pad_pts], axis=0)
+    else:
+        pts_pad = points
+
+    def block(i):
+        rows = jax.lax.dynamic_slice(
+            pts_pad, (i * block_rows, 0), (block_rows, d))
+        dist = kernels.pairwise_scaled_distance(rows, points, scale)
+        Kblk = kernels.matern(dist, nu)
+        return jnp.sum(Kblk * Kblk)
+
+    vals = jax.lax.map(block, jnp.arange(num_blocks))
+    return jnp.sum(vals)
+
+
+class MaternOperator:
+    """Assembly-free Matern correlation operator.
+
+    API: ``matvec``, ``matmat``, ``shape``, ``dtype``, ``trace_pow`` —
+    what MixedCorrelation and the stochastic engines consume. ``nu`` must
+    be a static float here (the fused fast path); traced-nu workloads use
+    vmapped dense assembly per grid point instead.
+    """
+
+    def __init__(self, points, scale, nu=0.5, block_rows=1024, dtype=None,
+                 use_pallas=None):
+        dtype = dtype or compute_dtype()
+        self.points = jnp.asarray(points, dtype=dtype)
+        n, d = self.points.shape
+        self.scale = kernels.broadcast_scale(scale, d).astype(dtype)
+        self.nu = float(nu)
+        self.block_rows = int(min(block_rows, n))
+        self.dtype = dtype
+        self._n = n
+        if use_pallas is None:
+            from ..utils.config import is_tpu
+            use_pallas = is_tpu() and self.nu in (0.5, 1.5, 2.5)
+        self.use_pallas = use_pallas
+
+    @property
+    def shape(self):
+        return (self._n, self._n)
+
+    def matmat(self, V):
+        V = jnp.asarray(V, dtype=self.dtype)
+        squeeze = V.ndim == 1
+        if squeeze:
+            V = V[:, None]
+        if self.use_pallas:
+            from . import pallas_kernels
+            out = pallas_kernels.matern_matmat(
+                self.points, self.scale, V, self.nu)
+        else:
+            out = _matern_matmat_blocked(self.points, self.scale, V,
+                                         self.nu, self.block_rows)
+        return out[:, 0] if squeeze else out
+
+    def matvec(self, v):
+        return self.matmat(v)
+
+    def trace_pow(self, exponent):
+        """Exact trace(K^p) for p in {0, 1, 2}: diag(K)=1 so trace=n;
+        trace(K^2)=||K||_F^2 computed blockwise."""
+        if exponent == 0 or exponent == 1:
+            return jnp.asarray(float(self._n), dtype=self.dtype)
+        if exponent == 2:
+            # padded rows are far from every *real* column point (columns
+            # are unpadded), so they contribute ~0 — no correction needed
+            return _matern_frobenius2_blocked(
+                self.points, self.scale, self.nu, self.block_rows)
+        raise ValueError("exponent must be 0, 1 or 2")
+
+    def dense(self):
+        """Materialize K (small-n debugging only)."""
+        from . import assembly
+        return assembly.dense_correlation(self.points, self.scale, self.nu,
+                                          dtype=self.dtype)
