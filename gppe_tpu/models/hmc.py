@@ -1,0 +1,176 @@
+"""Hamiltonian Monte Carlo over kernel hyperparameters, chain-parallel.
+
+The Bayesian counterpart of the reference's grid/MAP outer loop
+(reference: examples/FindOptimalCovarianceParameters.py — its docstring
+:4-8 records a retired Ray-parallel posterior exploration). TPU-native
+design:
+
+* the whole sampler is ONE jitted ``lax.scan``; chains are a vmapped
+  batch axis, so C chains advance as a single batched-Cholesky program on
+  the MXU, and the chain axis shards over the mesh's 'probe'/'chain' axis
+  (jax.sharding) for pods;
+* dual-averaging step-size adaptation (Nesterov/Hoffman-Gelman) during
+  warmup, per-chain;
+* diagonal mass-matrix adaptation from warmup iterates (Welford);
+* gradients via autodiff through the fused assembly+Cholesky likelihood
+  (gppe_tpu.models.kernel_posterior).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class HMCResult(NamedTuple):
+    samples: jnp.ndarray        # (num_samples, chains, dim)
+    log_probs: jnp.ndarray      # (num_samples, chains)
+    accept_rate: jnp.ndarray    # (chains,)
+    step_size: jnp.ndarray      # (chains,)
+    inv_mass: jnp.ndarray       # (chains, dim)
+
+
+def _leapfrog(grad_fn, theta, momentum, step_size, inv_mass, num_steps):
+    def body(_, carry):
+        th, mo = carry
+        mo = mo + 0.5 * step_size * grad_fn(th)
+        th = th + step_size * inv_mass * mo
+        mo = mo + 0.5 * step_size * grad_fn(th)
+        return (th, mo)
+    return jax.lax.fori_loop(0, num_steps, body, (theta, momentum))
+
+
+@partial(jax.jit,
+         static_argnames=("log_prob_fn", "num_samples", "num_warmup",
+                          "num_leapfrog"))
+def hmc_sample(log_prob_fn, init_theta, key, num_samples=1000,
+               num_warmup=500, num_leapfrog=16, init_step_size=0.1,
+               target_accept=0.8):
+    """Run HMC. ``init_theta``: (chains, dim); ``log_prob_fn`` maps (dim,)
+    -> scalar and is vmapped internally. Returns HMCResult."""
+    chains, dim = init_theta.shape
+    dtype = init_theta.dtype
+
+    value_and_grad = jax.value_and_grad(log_prob_fn)
+    batched_vg = jax.vmap(value_and_grad)
+    batched_grad = jax.vmap(jax.grad(log_prob_fn))
+
+    def grad_fn_batched(th):
+        return batched_grad(th)
+
+    lp0, _ = batched_vg(init_theta)
+
+    # dual averaging state (per chain)
+    mu = jnp.log(10.0 * init_step_size) * jnp.ones(chains, dtype)
+    log_eps = jnp.log(init_step_size) * jnp.ones(chains, dtype)
+    log_eps_bar = jnp.zeros(chains, dtype)
+    h_bar = jnp.zeros(chains, dtype)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    # Welford accumulators for the diagonal mass matrix
+    w_mean = jnp.zeros((chains, dim), dtype)
+    w_m2 = jnp.zeros((chains, dim), dtype)
+
+    inv_mass0 = jnp.ones((chains, dim), dtype)
+
+    total = num_warmup + num_samples
+
+    def step(carry, it):
+        (theta, lp, key, log_eps, log_eps_bar, h_bar, w_mean, w_m2,
+         inv_mass, n_accept) = carry
+        key, k_mo, k_u = jax.random.split(key, 3)
+        eps = jnp.exp(log_eps)
+
+        # momentum ~ N(0, M); M = 1/inv_mass (diagonal)
+        mo = (jax.random.normal(k_mo, (chains, dim), dtype)
+              / jnp.sqrt(inv_mass))
+
+        def one_chain(th, m, e, im):
+            return _leapfrog(jax.grad(log_prob_fn), th, m, e, im,
+                             num_leapfrog)
+        theta_new, mo_new = jax.vmap(one_chain)(theta, mo, eps, inv_mass)
+        lp_new = jax.vmap(log_prob_fn)(theta_new)
+        lp_new = jnp.where(jnp.isfinite(lp_new), lp_new, -jnp.inf)
+
+        ke_old = 0.5 * jnp.sum(mo * mo * inv_mass, axis=1)
+        ke_new = 0.5 * jnp.sum(mo_new * mo_new * inv_mass, axis=1)
+        log_accept = (lp_new - ke_new) - (lp - ke_old)
+        log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
+        accept_prob = jnp.minimum(1.0, jnp.exp(log_accept))
+        u = jax.random.uniform(k_u, (chains,), dtype)
+        accept = u < accept_prob
+        theta = jnp.where(accept[:, None], theta_new, theta)
+        lp = jnp.where(accept, lp_new, lp)
+
+        in_warmup = it < num_warmup
+        # --- dual averaging (warmup only) -------------------------------
+        t = it.astype(dtype) + 1.0
+        h_bar_n = ((1.0 - 1.0 / (t + t0)) * h_bar
+                   + (target_accept - accept_prob) / (t + t0))
+        log_eps_n = mu - jnp.sqrt(t) / gamma * h_bar_n
+        eta_t = t ** (-kappa)
+        log_eps_bar_n = eta_t * log_eps_n + (1 - eta_t) * log_eps_bar
+        log_eps = jnp.where(in_warmup, log_eps_n, log_eps_bar)
+        log_eps_bar = jnp.where(in_warmup, log_eps_bar_n, log_eps_bar)
+        h_bar = jnp.where(in_warmup, h_bar_n, h_bar)
+
+        # --- Welford mass accumulation over the 2nd warmup half ---------
+        in_window = jnp.logical_and(it >= num_warmup // 2, in_warmup)
+        cnt = jnp.maximum(it - num_warmup // 2 + 1, 1).astype(dtype)
+        delta = theta - w_mean
+        w_mean_n = w_mean + delta / cnt
+        w_m2_n = w_m2 + delta * (theta - w_mean_n)
+        w_mean = jnp.where(in_window, w_mean_n, w_mean)
+        w_m2 = jnp.where(in_window, w_m2_n, w_m2)
+        # switch in the adapted mass at the end of warmup
+        var = w_m2 / jnp.maximum(cnt - 1.0, 1.0)
+        var = jnp.where(var > 1e-10, var, 1.0)
+        inv_mass = jnp.where(it == num_warmup - 1, var, inv_mass)
+
+        n_accept = n_accept + jnp.where(it >= num_warmup,
+                                        accept.astype(dtype), 0.0)
+        carry = (theta, lp, key, log_eps, log_eps_bar, h_bar, w_mean,
+                 w_m2, inv_mass, n_accept)
+        return carry, (theta, lp)
+
+    carry0 = (init_theta, lp0, key, log_eps, log_eps_bar, h_bar, w_mean,
+              w_m2, inv_mass0, jnp.zeros(chains, dtype))
+    carry, (thetas, lps) = jax.lax.scan(step, carry0,
+                                        jnp.arange(total))
+    (theta, lp, key, log_eps, log_eps_bar, h_bar, w_mean, w_m2, inv_mass,
+     n_accept) = carry
+    return HMCResult(samples=thetas[num_warmup:],
+                     log_probs=lps[num_warmup:],
+                     accept_rate=n_accept / num_samples,
+                     step_size=jnp.exp(log_eps),
+                     inv_mass=inv_mass)
+
+
+def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
+                     num_warmup=300, num_leapfrog=16, key=0,
+                     init=None, log_prior=None, mesh=None):
+    """Sample the (log10 eta, log10 rho) posterior of a GP dataset.
+
+    Chains are a batch axis; with ``mesh`` given, the chain axis is
+    sharded over the mesh's 'probe' axis so chains distribute across
+    chips/hosts (BASELINE config 5).
+    """
+    from .kernel_posterior import make_log_posterior
+    log_post = make_log_posterior(points, z, X, nu=nu, log_prior=log_prior)
+
+    rng = jax.random.PRNGKey(key)
+    k_init, k_run = jax.random.split(rng)
+    if init is None:
+        base = jnp.asarray([1.0, -1.0])  # log10 eta ~ 10, rho ~ 0.1
+        init = base + 0.5 * jax.random.normal(k_init, (num_chains, 2))
+    init = jnp.asarray(init, dtype=jnp.result_type(0.0))
+
+    if mesh is not None:
+        from ..parallel.mesh import PROBE_AXIS
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(PROBE_AXIS, None))
+        init = jax.device_put(init, sharding)
+
+    return hmc_sample(log_post, init, k_run, num_samples=num_samples,
+                      num_warmup=num_warmup, num_leapfrog=num_leapfrog)

@@ -99,7 +99,11 @@ def pairwise_scaled_distance(points_a, points_b, scale):
         aa = jnp.sum(a * a, axis=-1)
         bb = jnp.sum(b * b, axis=-1)
         d2 = aa[:, None] + bb[None, :] - 2.0 * (a @ b.T)
-    return jnp.sqrt(jnp.maximum(d2, 0.0))
+    # NaN-safe sqrt under autodiff: d sqrt/d x -> inf at 0 would poison
+    # gradients through the (constant) diagonal; zero-distance entries get
+    # zero gradient instead (correct: k(0)=1 independent of scale).
+    pos = d2 > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, d2, 1.0)), 0.0)
 
 
 def broadcast_scale(scale, dimension: int):

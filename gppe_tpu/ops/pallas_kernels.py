@@ -72,10 +72,11 @@ def _matmat_kernel(pr_ref, pc_ref, v_ref, out_ref, *, nu, d):
 
 @functools.partial(jax.jit, static_argnames=("nu", "d", "tile_m", "tile_n"))
 def _matern_matmat_padded(pts_rows, pts_cols_t, V, nu, d, tile_m, tile_n):
-    """pts_rows: (n_pad, 8); pts_cols_t: (8, n_pad); V: (n_pad, r_pad)."""
+    """pts_rows: (nr_pad, 8); pts_cols_t: (8, nc_pad); V: (nc_pad, r_pad)."""
     n_pad = pts_rows.shape[0]
+    nc_pad = pts_cols_t.shape[1]
     r_pad = V.shape[1]
-    grid = (n_pad // tile_m, n_pad // tile_n)
+    grid = (n_pad // tile_m, nc_pad // tile_n)
 
     kernel = functools.partial(_matmat_kernel, nu=nu, d=d)
 
@@ -95,50 +96,64 @@ def _matern_matmat_padded(pts_rows, pts_cols_t, V, nu, d, tile_m, tile_n):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, r_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=4 * n_pad * (2 * r_pad + 16),
-            transcendentals=n_pad * n_pad),
+            flops=flops, bytes_accessed=4 * (n_pad + nc_pad) * (r_pad + 8),
+            transcendentals=n_pad * nc_pad),
     )(pts_rows, pts_cols_t, V)
 
 
-def matern_matmat(points, scale, V, nu, tile_m=512, tile_n=512):
-    """K @ V with K the Matern correlation of ``points`` — fused, K never
-    materialized. ``V``: (n, r). Returns (n, r) float32.
+def matern_matmat(points, scale, V, nu, tile_m=512, tile_n=512,
+                  points_cols=None):
+    """K @ V with K the Matern correlation — fused, K never materialized.
+
+    ``points`` are the row points (nr, d); ``points_cols`` defaults to the
+    same set (square K) but may differ — the rectangular form is the
+    building block of the row-block-sharded multi-chip matvec
+    (gppe_tpu.parallel). ``V``: (nc, r). Returns (nr, r) float32.
 
     Traced with x64 disabled: global x64 mode leaks i64 grid indices into
     Mosaic, which fails to legalize them; this kernel is float32 by
     design anyway.
     """
     with jax.enable_x64(False):
-        return _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n)
+        return _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n,
+                                  points_cols)
 
 
-def _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n):
+def _pad_points(points, n_pad, d):
+    n = points.shape[0]
+    out = jnp.zeros((n_pad, _SUBLANE), dtype=jnp.float32)
+    out = out.at[:n, :d].set(points)
+    if n_pad > n:
+        far = 1e6 * (2.0 + jnp.arange(n_pad - n, dtype=jnp.float32))
+        out = out.at[n:, 0].set(far)
+    return out
+
+
+def _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n, points_cols):
     points = jnp.asarray(points, dtype=jnp.float32)
     scale = jnp.asarray(scale, dtype=jnp.float32)
     V = jnp.asarray(V, dtype=jnp.float32)
-    n, d = points.shape
+    pts_c = points if points_cols is None else jnp.asarray(
+        points_cols, dtype=jnp.float32)
+    nr, d = points.shape
+    nc = pts_c.shape[0]
     if d > _SUBLANE:
         raise ValueError(f"pallas path supports dimension <= {_SUBLANE}")
     r = V.shape[1]
 
-    tile = max(tile_m, tile_n)
-    n_pad = -(-n // tile) * tile
+    nr_pad = -(-nr // tile_m) * tile_m
+    nc_pad = -(-nc // tile_n) * tile_n
     r_pad = max(128, -(-r // 128) * 128)
 
-    # scaled, padded points in both layouts; padded points sit far away
-    # and mutually apart so their correlation to everything real is ~0,
-    # and padded V rows are zero anyway.
-    pts_scaled = points / scale
-    pts_rows = jnp.zeros((n_pad, _SUBLANE), dtype=jnp.float32)
-    pts_rows = pts_rows.at[:n, :d].set(pts_scaled)
-    if n_pad > n:
-        far = 1e6 * (2.0 + jnp.arange(n_pad - n, dtype=jnp.float32))
-        pts_rows = pts_rows.at[n:, 0].set(far)
-    pts_cols_t = pts_rows.T
+    # scaled, padded points; padded points sit far away and mutually
+    # apart so their correlation to everything real is ~0, and padded V
+    # rows are zero anyway.
+    pts_rows = _pad_points(points / scale, nr_pad, d)
+    pts_cols_t = _pad_points(pts_c / scale, nc_pad, d).T
 
-    V_pad = jnp.zeros((n_pad, r_pad), dtype=jnp.float32)
-    V_pad = V_pad.at[:n, :r].set(V)
+    V_pad = jnp.zeros((nc_pad, r_pad), dtype=jnp.float32)
+    V_pad = V_pad.at[:nc, :r].set(V)
 
     out = _matern_matmat_padded(pts_rows, pts_cols_t, V_pad, float(nu),
                                 d, tile_m, tile_n)
-    return out[:n, :r]
+    return out[:nr, :r]

@@ -1,0 +1,187 @@
+"""Sharded kernels: row-block matvec and distributed Lanczos/profile step.
+
+The multi-chip execution model (SURVEY.md §2.b, §5.7-5.8):
+
+* operator rows, data vectors (z, X, probes) are sharded over the
+  ``block`` mesh axis (the "tensor-parallel" axis of this domain);
+* a matvec all-gathers the sharded Krylov vector along ``block`` (ICI)
+  and multiplies the local row-block of the *never-materialized* Matern
+  operator;
+* inner products / norms are psums over ``block``;
+* Hutchinson/SLQ probes split over the ``probe`` axis (the
+  "data-parallel" axis) and only their final quadrature means are
+  psum-averaged.
+
+Everything below is shard_map-based so it compiles to one SPMD program
+with explicit collectives, testable on a virtual CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..ops import kernels
+from .mesh import BLOCK_AXIS, PROBE_AXIS
+
+
+def _rect_matern_matmat(pts_rows, pts_cols, scale, V, nu):
+    """Local row-block matvec: Matern(pts_rows, pts_cols) @ V, fused."""
+    dist = kernels.pairwise_scaled_distance(pts_rows, pts_cols, scale)
+    Kblk = kernels.matern(dist, nu)
+    return jnp.matmul(Kblk, V, precision="highest")
+
+
+def _local_lanczos(matmat, V0_local, num_steps, axis):
+    """Lanczos with vectors sharded over ``axis``; reductions are psums.
+
+    V0_local: (n_local, r). Returns alphas (r, k), betas (r, k-1),
+    V_store (k, n_local, r).
+    """
+    n_l, r = V0_local.shape
+    dtype = V0_local.dtype
+    k = num_steps
+
+    def gsum(x):
+        return jax.lax.psum(x, axis)
+
+    nrm = jnp.sqrt(gsum(jnp.sum(V0_local * V0_local, axis=0)))
+    q = V0_local / nrm
+    V = jnp.zeros((k, n_l, r), dtype=dtype)
+    V = V.at[0].set(q)
+    alphas = jnp.zeros((r, k), dtype=dtype)
+    betas = jnp.zeros((r, max(k - 1, 1)), dtype=dtype)
+
+    def body(j, carry):
+        V, alphas, betas, q, q_prev, beta_prev = carry
+        w = matmat(q)
+        alpha = gsum(jnp.sum(q * w, axis=0))
+        w = w - alpha[None, :] * q - beta_prev[None, :] * q_prev
+        # full reorthogonalization (local einsum + psum)
+        mask = (jnp.arange(k) <= j).astype(dtype)
+        coeffs = gsum(jnp.einsum("inp,np->ip", V, w)) * mask[:, None]
+        w = w - jnp.einsum("inp,ip->np", V, coeffs)
+        beta = jnp.sqrt(gsum(jnp.sum(w * w, axis=0)))
+        beta_safe = jnp.where(beta > 0, beta, 1.0)
+        q_next = w / beta_safe
+        V = V.at[j + 1].set(jnp.where(j + 1 < k, q_next, V[j + 1]))
+        alphas = alphas.at[:, j].set(alpha)
+        betas = jax.lax.cond(j < k - 1,
+                             lambda b: b.at[:, j].set(beta),
+                             lambda b: b, betas)
+        return (V, alphas, betas, q_next, q, beta)
+
+    init = (V, alphas, betas, q, jnp.zeros_like(q),
+            jnp.zeros(r, dtype=dtype))
+    V, alphas, betas, *_ = jax.lax.fori_loop(0, k, body, init)
+    return alphas, betas, V, nrm
+
+
+def _tridiag_dense(alphas, betas):
+    """(r, k), (r, k-1) -> batched dense (r, k, k) tridiagonal."""
+    r, k = alphas.shape
+    T = jnp.zeros((r, k, k), dtype=alphas.dtype)
+    ii = jnp.arange(k)
+    T = T.at[:, ii, ii].set(alphas)
+    if k > 1:
+        jj = jnp.arange(k - 1)
+        T = T.at[:, jj, jj + 1].set(betas[:, :k - 1])
+        T = T.at[:, jj + 1, jj].set(betas[:, :k - 1])
+    return T
+
+
+def build_sharded_profile_step(mesh, nu=0.5, lanczos_steps=16):
+    """Compile one full multi-chip profile-likelihood step.
+
+    Returns a jitted fn(points_local..., see below) over the mesh that:
+      1. runs the sharded Lanczos on the solve block [z, X] (replicated
+         over 'probe', row-sharded over 'block'),
+      2. runs the sharded Lanczos on the probe block (sharded over both),
+      3. computes Ritz quadrature + Krylov solves for a *batch* of etas,
+      4. returns der1(eta), traceinv(eta), logdet(eta) — replicated.
+
+    This is the real multi-chip training-step graph: all-gathers along
+    'block' inside every matvec, psum reductions for the Lanczos scalars,
+    probe-mean psums along 'probe'.
+    """
+    k = lanczos_steps
+
+    def step(points, scale, X, z, probes, etas):
+        n, d = points.shape
+        m = X.shape[1]
+        s = m + 1
+
+        def body(pts_l, pts_f, scale_, X_l, z_l, probes_l, etas_):
+            rhs_l = jnp.concatenate([z_l[:, None], X_l], axis=1)  # (n_l, s)
+
+            def matmat(V_l):
+                V_f = jax.lax.all_gather(V_l, BLOCK_AXIS, axis=0,
+                                         tiled=True)
+                return _rect_matern_matmat(pts_l, pts_f, scale_, V_f, nu)
+
+            # 1) solve bases
+            a_s, b_s, Vs, nrm_s = _local_lanczos(matmat, rhs_l, k,
+                                                 BLOCK_AXIS)
+            # 2) probe bases
+            a_p, b_p, Vp, nrm_p = _local_lanczos(matmat, probes_l, k,
+                                                 BLOCK_AXIS)
+
+            # projections for the solve path (psum over block)
+            U = jax.lax.psum(
+                jnp.einsum("knj,nt->jkt", Vs, rhs_l), BLOCK_AXIS)
+            Vm = jnp.transpose(Vs, (2, 0, 1)).reshape(s * k, -1)
+            G = jax.lax.psum(Vm @ Vm.T, BLOCK_AXIS).reshape(
+                s, k, s, k).transpose(0, 2, 1, 3)
+
+            # Ritz quadrature of the probes (on-device batched eigh)
+            T_p = _tridiag_dense(a_p, b_p)
+            theta, Uev = jnp.linalg.eigh(T_p)          # (p_l, k), ...
+            tau = Uev[:, 0, :] ** 2
+
+            T_s = _tridiag_dense(a_s, b_s)             # (s, k, k)
+            eye_k = jnp.eye(k, dtype=T_s.dtype)
+            e1 = jnp.zeros((k,), dtype=T_s.dtype).at[0].set(1.0)
+
+            def per_eta(eta):
+                # solves y_j = (T_j + eta)^-1 ||b_j|| e1
+                y = jnp.linalg.solve(
+                    T_s + eta * eye_k,
+                    jnp.broadcast_to(e1, (s, k))[..., None])[..., 0]
+                y = y * nrm_s[:, None]
+                C = jnp.einsum("jkt,jk->tj", U, y)
+                S2 = jnp.einsum("ia,ijab,jb->ij", y, G, y)
+                B = C[1:, 1:]
+                B = 0.5 * (B + B.T)
+                Ytz = C[0, 1:]
+                zw = C[0, 0]
+                Binv = jnp.linalg.inv(B)
+                c = Binv @ Ytz
+                zMz = zw - Ytz @ c
+                zM2z = (S2[0, 0] - 2.0 * (S2[0, 1:] @ c)
+                        + c @ (S2[1:, 1:] @ c))
+                # probe-quadrature traces, psum-averaged over 'probe'.
+                # Rademacher probes have ||v||^2 = n exactly, so each
+                # normalized quadrature estimates trace/n.
+                q_inv = (tau / (theta + eta)).sum(axis=1)
+                q_log = (tau * jnp.log(theta + eta)).sum(axis=1)
+                cnt = jax.lax.psum(jnp.asarray(
+                    q_inv.shape[0], q_inv.dtype), PROBE_AXIS)
+                traceinv = n * jax.lax.psum(q_inv.sum(), PROBE_AXIS) / cnt
+                logdet = n * jax.lax.psum(q_log.sum(), PROBE_AXIS) / cnt
+                trace_M = traceinv - jnp.trace(Binv @ S2[1:, 1:])
+                sigma2 = zMz / (n - m)
+                der1 = -0.5 * (trace_M - zM2z / sigma2)
+                return der1, traceinv, logdet
+
+            der1, traceinv, logdet = jax.vmap(per_eta)(etas_)
+            return der1, traceinv, logdet
+
+        pts_full = points
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(BLOCK_AXIS), P(), P(), P(BLOCK_AXIS),
+                      P(BLOCK_AXIS), P(BLOCK_AXIS, PROBE_AXIS), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(points, pts_full, scale, X, z, probes, etas)
+
+    return jax.jit(step)

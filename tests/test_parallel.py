@@ -1,0 +1,84 @@
+"""Multi-device tests on the virtual 8-device CPU mesh
+(the TPU-pod substitute, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gppe_tpu.models import direct_likelihood as dl
+from gppe_tpu.models import profile_likelihood as pl_mod
+from gppe_tpu.models.mixed_correlation import MixedCorrelation
+from gppe_tpu.ops import assembly
+from gppe_tpu.parallel import mesh as mesh_mod
+from gppe_tpu.parallel import sharded
+from gppe_tpu.utils import data as data_utils
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return mesh_mod.make_mesh(8)
+
+
+def test_make_mesh_axes(mesh8):
+    assert mesh8.axis_names == ("probe", "block")
+    assert np.prod(list(mesh8.shape.values())) == 8
+
+
+def test_sharded_profile_step_matches_exact(mesh8):
+    pts = data_utils.generate_points(16, dimension=2)  # n=256
+    z = data_utils.generate_data(pts, 0.2)
+    X = data_utils.generate_basis_functions(pts, 2)
+    n = pts.shape[0]
+
+    K = np.asarray(assembly.dense_correlation(pts, 0.1, 0.5))
+    Km = MixedCorrelation(K)
+    data = dl.make_spectral_data(Km, X, z)
+
+    step = sharded.build_sharded_profile_step(mesh8, nu=0.5,
+                                              lanczos_steps=40)
+    rng = np.random.default_rng(0)
+    p_per = int(mesh8.shape["probe"])
+    probes = rng.choice([-1.0, 1.0], size=(n, 16 * p_per))
+    etas = jnp.asarray([0.3, 3.0, 30.0])
+
+    der1, traceinv, logdet = step(
+        jnp.asarray(pts), jnp.asarray([0.1, 0.1]), jnp.asarray(X),
+        jnp.asarray(z), jnp.asarray(probes), etas)
+
+    lam = np.linalg.eigvalsh(K)
+    for i, eta in enumerate([0.3, 3.0, 30.0]):
+        want_ti = (1.0 / (lam + eta)).sum()
+        want_ld = np.log(lam + eta).sum()
+        # MC-limited accuracy for traces (no CV in the all-jit path);
+        # absolute error scales with n
+        assert abs(float(traceinv[i]) - want_ti) / want_ti < 0.1
+        assert abs(float(logdet[i]) - want_ld) / n < 0.05
+        want_d1 = float(pl_mod.log_likelihood_der1_eta(
+            data, jnp.log10(jnp.asarray(eta))))
+        # der1's solve part is Krylov-exact; trace part MC-limited
+        assert abs(float(der1[i]) - want_d1) / n < 0.05, (eta, der1[i], want_d1)
+
+
+def test_sharded_step_device_count_invariance():
+    """Same math on a 4-device and 8-device mesh."""
+    pts = data_utils.generate_points(16, dimension=2)
+    z = data_utils.generate_data(pts, 0.2)
+    X = data_utils.generate_basis_functions(pts, 2)
+    n = pts.shape[0]
+    rng = np.random.default_rng(1)
+    probes = rng.choice([-1.0, 1.0], size=(n, 16))
+    etas = jnp.asarray([1.0])
+
+    results = []
+    for nd, probe_ext in [(4, 2), (8, 2)]:
+        m = mesh_mod.make_mesh(nd, probe=probe_ext)
+        step = sharded.build_sharded_profile_step(m, nu=0.5,
+                                                  lanczos_steps=30)
+        der1, ti, ld = step(jnp.asarray(pts), jnp.asarray([0.1, 0.1]),
+                            jnp.asarray(X), jnp.asarray(z),
+                            jnp.asarray(probes), etas)
+        results.append((float(der1[0]), float(ti[0]), float(ld[0])))
+    a, b = results
+    np.testing.assert_allclose(a, b, rtol=1e-6)
