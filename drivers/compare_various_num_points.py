@@ -1,0 +1,141 @@
+"""Scaling benchmark over N (reference
+examples/CompareVariousNumberOfPoints.py:241-280; goldens
+data/VariousNumberOfPoints-{dense,sparse}.pickle).
+
+Times the pre-computation phase (eigendecomposition / Krylov
+factorization) and the maximize-likelihood phase separately for:
+  * derivative (profile) method, spectral path       [dense Ns]
+  * direct MLE, spectral path                        [dense Ns]
+  * derivative method, matrix-free Krylov path       [large Ns]
+and fits log-log scaling slopes (the reference's LogRegression
+:218-235).
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def log_regression(Ns, times):
+    """Slope of log(time) vs log(N) (reference :218-235)."""
+    mask = np.asarray(times) > 0
+    if mask.sum() < 2:
+        return float("nan")
+    p = np.polyfit(np.log(np.asarray(Ns)[mask]),
+                   np.log(np.asarray(times)[mask]), 1)
+    return float(p[0])
+
+
+def run_dense(n_side, noise=0.2, scale=0.1, nu=0.5):
+    import gppe_tpu
+    from gppe_tpu.models import direct_likelihood as dl
+    from gppe_tpu.models import profile_likelihood as pl_mod
+    from gppe_tpu.models.mixed_correlation import MixedCorrelation
+    from gppe_tpu.ops import assembly
+    from gppe_tpu.utils import data as data_utils
+
+    pts = data_utils.generate_points(n_side, dimension=2)
+    z = data_utils.generate_data(pts, noise)
+    X = data_utils.generate_basis_functions(pts, 2)
+    K = assembly.dense_correlation(pts, scale, nu)
+    K.block_until_ready()
+
+    out = {}
+    # derivative (profile) method
+    t0 = time.perf_counter()
+    Km = MixedCorrelation(K)
+    data = dl.make_spectral_data(Km, X, z)
+    data.zt.block_until_ready()
+    pre = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = pl_mod.find_log_likelihood_der1_zeros(data, [1e-4, 1e3])
+    opt = time.perf_counter() - t0
+    out["derivative"] = {"pre_s": pre, "opt_s": opt, **r}
+
+    # direct method on the same spectral data (pre time shared)
+    t0 = time.perf_counter()
+    r2 = dl.maximize_log_likelihood(data)
+    out["direct"] = {"pre_s": pre, "opt_s": time.perf_counter() - t0, **r2}
+    return pts.shape[0], out
+
+
+def run_krylov(n, noise=0.2, scale=0.1, nu=0.5, density=None, seed=7):
+    from gppe_tpu.models.large_scale import KrylovProfileLikelihood
+    from gppe_tpu.ops import operators, taper
+    from gppe_tpu.utils import data as data_utils
+
+    rng = np.random.RandomState(seed)
+    pts = rng.rand(n, 2)
+    z = data_utils.generate_data(pts, noise)
+    X = data_utils.generate_basis_functions(pts, 2)
+
+    if density is not None:
+        op = taper.TaperedMaternOperator(pts, scale, nu=nu,
+                                         density=density)
+    else:
+        op = operators.MaternOperator(pts, scale, nu=nu)
+
+    t0 = time.perf_counter()
+    eng = KrylovProfileLikelihood(op, X, z, lanczos_steps=64,
+                                  num_probes=16)
+    pre = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = eng.fit()
+    opt = time.perf_counter() - t0
+    return {"pre_s": pre, "opt_s": opt, **r}
+
+
+def main(dense_sides=(23, 27, 32, 45, 54, 64), krylov_ns=(16384, 65536),
+         results_path="data/various_number_of_points.pickle",
+         use_saved=False, verbose=True):
+    """dense_sides mirror the reference's N in {529...4096}
+    (CompareVariousNumberOfPoints.py:247-261: 23^2, 27^2, 32^2, 45^2,
+    54^2, 64^2)."""
+    from gppe_tpu.utils import checkpoint
+    from gppe_tpu.utils import config as cfg
+    cfg.setup()
+
+    def compute():
+        out = {"dense": [], "krylov": []}
+        for side in dense_sides:
+            n, res = run_dense(side)
+            res["n"] = n
+            out["dense"].append(res)
+            if verbose:
+                d = res["derivative"]
+                print(f"dense n={n}: derivative pre {d['pre_s']:.2f}s "
+                      f"opt {d['opt_s']:.2f}s eta={d['eta']:.3f}")
+        for n in krylov_ns:
+            res = run_krylov(n)
+            res["n"] = n
+            out["krylov"].append(res)
+            if verbose:
+                print(f"krylov n={n}: pre {res['pre_s']:.2f}s "
+                      f"opt {res['opt_s']:.2f}s eta={res['eta']:.3f}")
+
+        Ns = [r["n"] for r in out["dense"]]
+        totals = [r["derivative"]["pre_s"] + r["derivative"]["opt_s"]
+                  for r in out["dense"]]
+        out["derivative_slope"] = log_regression(Ns, totals)
+        if verbose:
+            print(f"derivative-method scaling slope: "
+                  f"{out['derivative_slope']:.2f} "
+                  f"(reference CPU path is ~3 for dense)")
+        return out
+
+    return checkpoint.run_or_resume(results_path, compute,
+                                    use_saved=use_saved, verbose=verbose)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--use-saved", action="store_true")
+    p.add_argument("--small", action="store_true",
+                   help="reduced sizes for smoke runs")
+    a = p.parse_args()
+    if a.small:
+        main(dense_sides=(16, 23, 32), krylov_ns=(4096,),
+             use_saved=a.use_saved)
+    else:
+        main(use_saved=a.use_saved)

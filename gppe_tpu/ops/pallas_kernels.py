@@ -157,3 +157,93 @@ def _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n, points_cols):
     out = _matern_matmat_padded(pts_rows, pts_cols_t, V_pad, float(nu),
                                 d, tile_m, tile_n)
     return out[:nr, :r]
+
+
+def _blocksparse_kernel(pair_i_ref, pair_j_ref, pr_ref, pc_ref, v_ref,
+                        out_ref, *, nu, d, tau):
+    p = pl.program_id(0)
+    i_cur = pair_i_ref[p]
+    i_prev = pair_i_ref[jnp.maximum(p - 1, 0)]
+    first = jnp.logical_or(p == jnp.int32(0), i_prev != i_cur)
+
+    pr = pr_ref[:]
+    pc = pc_ref[:]
+    d2 = jnp.zeros((pr.shape[0], pc.shape[1]), dtype=jnp.float32)
+    for dim in range(d):
+        diff = pr[:, dim:dim + 1] - pc[dim:dim + 1, :]
+        d2 = d2 + diff * diff
+    k_tile = _matern_tile(d2, nu)
+    # hard taper: exact parity with the reference's threshold drop
+    k_tile = jnp.where(k_tile >= tau, k_tile, 0.0)
+
+    acc = jnp.dot(k_tile, v_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nu", "d", "tau", "tile"))
+def _blocksparse_padded(pts_rows, pts_cols_t, V, pair_i, pair_j, nu, d,
+                        tau, tile):
+    n_pad = pts_rows.shape[0]
+    r_pad = V.shape[1]
+    num_pairs = pair_i.shape[0]
+
+    kernel = functools.partial(_blocksparse_kernel, nu=nu, d=d, tau=tau)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_pairs,),
+        in_specs=[
+            pl.BlockSpec((tile, _SUBLANE),
+                         lambda p, pi, pj: (pi[p], 0)),
+            pl.BlockSpec((_SUBLANE, tile),
+                         lambda p, pi, pj: (0, pj[p])),
+            pl.BlockSpec((tile, r_pad),
+                         lambda p, pi, pj: (pj[p], 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, r_pad),
+                               lambda p, pi, pj: (pi[p], 0)),
+    )
+    flops = 2 * num_pairs * tile * tile * (r_pad + d + 4)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, r_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * num_pairs * tile * (2 * r_pad + 16),
+            transcendentals=num_pairs * tile * tile),
+    )(pair_i, pair_j, pts_rows, pts_cols_t, V)
+
+
+def matern_matmat_blocksparse(points_sorted, V, nu, tau, pair_i, pair_j,
+                              tile):
+    """Tapered (block-sparse) K @ V over active tile pairs only.
+
+    ``points_sorted``: (n_pad, d) spatially sorted, *already scaled*
+    points (padded to a tile multiple); ``pair_i/pair_j``: active tile
+    index pairs sorted by row tile (gppe_tpu.ops.taper builds them).
+    """
+    with jax.enable_x64(False):
+        pts = jnp.asarray(points_sorted, dtype=jnp.float32)
+        n_pad, d = pts.shape
+        V = jnp.asarray(V, dtype=jnp.float32)
+        r = V.shape[1]
+        r_pad = max(128, -(-r // 128) * 128)
+        V_pad = jnp.zeros((n_pad, r_pad), dtype=jnp.float32)
+        V_pad = V_pad.at[:, :r].set(V)
+        pts8 = jnp.zeros((n_pad, _SUBLANE), dtype=jnp.float32)
+        pts8 = pts8.at[:, :d].set(pts)
+        out = _blocksparse_padded(
+            pts8, pts8.T, V_pad,
+            jnp.asarray(pair_i, dtype=jnp.int32),
+            jnp.asarray(pair_j, dtype=jnp.int32),
+            float(nu), d, float(tau), int(tile))
+        return out[:, :r]

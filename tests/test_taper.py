@@ -1,0 +1,91 @@
+"""Tapered-sparse path: threshold math, CSR parity, block-sparse operator
+vs explicitly tapered dense truth."""
+
+import numpy as np
+import pytest
+
+from gppe_tpu.ops import assembly, kernels, taper
+from gppe_tpu.utils import data as data_utils
+
+
+def test_gamma_function_matches_scipy():
+    import scipy.special
+    for d in range(1, 8):
+        np.testing.assert_allclose(taper.gamma_function(d),
+                                   scipy.special.gamma(d / 2 + 1),
+                                   rtol=1e-12)
+
+
+def test_ball_radius_volume_roundtrip():
+    for d in [1, 2, 3]:
+        r = taper.ball_radius(taper.ball_volume(0.7, d), d)
+        np.testing.assert_allclose(r, 0.7, rtol=1e-12)
+
+
+def test_adjacency_guard():
+    with pytest.raises(ValueError):
+        taper.estimate_kernel_threshold(100, 2, 1e-6, np.array([0.1, 0.1]),
+                                        0.5)
+
+
+def dense_tapered(pts, scale, nu, density):
+    n, d = pts.shape
+    scale_arr = np.repeat(np.atleast_1d(scale), d) if np.isscalar(scale) \
+        else np.asarray(scale)
+    tau = taper.estimate_kernel_threshold(n, d, density, scale_arr, nu)
+    K = np.asarray(assembly.dense_correlation(pts, scale, nu))
+    return np.where(K >= tau, K, 0.0), tau
+
+
+def test_csr_matches_dense_taper():
+    pts = data_utils.generate_points(20, dimension=2)  # n=400
+    Kd, tau = dense_tapered(pts, 0.05, 0.5, 0.02)
+    csr = taper.generate_tapered_correlation(pts, 0.05, 0.5, 0.02,
+                                             block_rows=128)
+    np.testing.assert_allclose(csr.toarray(), Kd, atol=1e-12)
+    # density is approximately the request (within geometry slack)
+    got_density = csr.nnz / 400 ** 2
+    assert 0.1 * 0.02 < got_density < 10 * 0.02
+
+
+def test_block_sparse_operator_matches_tapered_dense():
+    rng = np.random.default_rng(0)
+    pts = rng.random((500, 2))
+    density = 0.05
+    Kd, tau = dense_tapered(pts, 0.05, 0.5, density)
+    op = taper.TaperedMaternOperator(pts, 0.05, nu=0.5, density=density,
+                                     tile=64, use_pallas=False)
+    V = rng.standard_normal((500, 3))
+    got = np.asarray(op.matmat(V))
+    want = Kd @ V
+    np.testing.assert_allclose(got, want, atol=1e-8)
+    v = rng.standard_normal(500)
+    np.testing.assert_allclose(np.asarray(op.matvec(v)), Kd @ v, atol=1e-8)
+
+
+def test_block_sparse_skips_tiles():
+    rng = np.random.default_rng(1)
+    pts = rng.random((2000, 2))
+    op = taper.TaperedMaternOperator(pts, 0.02, nu=0.5, density=0.01,
+                                     tile=128, use_pallas=False)
+    assert op.tile_density < 0.7  # pruning actually happens
+
+
+def test_block_sparse_trace_pow(problem=None):
+    rng = np.random.default_rng(2)
+    pts = rng.random((400, 2))
+    density = 0.05
+    Kd, tau = dense_tapered(pts, 0.05, 0.5, density)
+    op = taper.TaperedMaternOperator(pts, 0.05, nu=0.5, density=density,
+                                     tile=64, use_pallas=False)
+    np.testing.assert_allclose(float(op.trace_pow(2)), np.sum(Kd * Kd),
+                               rtol=1e-8)
+
+
+def test_generate_correlation_sparse_facade():
+    pts = data_utils.generate_points(15, dimension=2)
+    M = assembly.generate_correlation(pts, 0.1, nu=0.5, sparse=True,
+                                      density=0.05)
+    import scipy.sparse
+    assert scipy.sparse.issparse(M)
+    assert M.shape == (225, 225)
