@@ -127,9 +127,25 @@ def generate_tapered_correlation(points, scale, nu, density, verbose=False,
     if scale.size == 1:
         scale = np.repeat(scale, d)
     tau = estimate_kernel_threshold(n, d, density, scale, nu)
+    radius = estimate_kernel_radius(n, d, density, scale)
+    pts_scaled = points / scale
+
+    # native C++/OpenMP cell-binned builder (O(n k)); k >= tau is
+    # equivalent to distance <= radius since the kernel is monotone
+    from .. import native
+    res = native.taper_csr(pts_scaled, radius, nu)
+    if res is not None:
+        values, indices, indptr = res
+        csr = scipy.sparse.csr_matrix((values, indices, indptr),
+                                      shape=(n, n))
+        if verbose:
+            print(f"tapered correlation (native, "
+                  f"{native.num_threads()} threads): n={n} "
+                  f"tau={tau:.3e} nnz={csr.nnz} "
+                  f"density={csr.nnz / n ** 2:.3e}")
+        return csr
 
     rows, cols, vals = [], [], []
-    pts_scaled = points / scale
     for start in range(0, n, block_rows):
         stop = min(start + block_rows, n)
         diff = pts_scaled[start:stop, None, :] - pts_scaled[None, :, :]
