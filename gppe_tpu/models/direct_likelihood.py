@@ -47,7 +47,9 @@ def make_spectral_data(K_mixed, X, z):
     reproduces the full-f64 optimum to 6 significant digits, while pure
     f32 scalars are qualitatively wrong.
     """
-    from ..utils.config import inference_device, inference_dtype
+    from ..utils.config import (ensure_inference_precision, inference_device,
+                                inference_dtype)
+    ensure_inference_precision()
     dev = inference_device()
     dt = inference_dtype()
     Xt = K_mixed.rotate(jnp.asarray(X))

@@ -18,6 +18,10 @@ class Likelihood:
     def __init__(self, X, K, likelihood_method="direct",
                  imate_method="eigenvalue", interpolate=False,
                  interpolant_points=None, options=None):
+        if likelihood_method not in ("direct", "profiled"):
+            raise ValueError(
+                f"likelihood_method must be 'direct' or 'profiled', got "
+                f"{likelihood_method!r}")
         self.X = jnp.asarray(X)
         self.K = K
         self.likelihood_method = likelihood_method
