@@ -1,4 +1,4 @@
-"""Posterior sampling driver (BASELINE config 5): HMC chains over
+"""Posterior sampling driver (BASELINE config 5): HMC or NUTS chains over
 (log10 eta, log10 rho), chain axis sharded over the device mesh."""
 
 import argparse
@@ -8,7 +8,7 @@ import numpy as np
 
 
 def main(num_points=30, noise=0.2, num_chains=8, num_samples=500,
-         num_warmup=400, use_mesh=True,
+         num_warmup=400, use_mesh=True, sampler="hmc",
          results_path="data/posterior_samples.pickle", verbose=True):
     from gppe_tpu.utils import checkpoint
     from gppe_tpu.utils import config as cfg
@@ -16,7 +16,7 @@ def main(num_points=30, noise=0.2, num_chains=8, num_samples=500,
 
     import jax
 
-    from gppe_tpu.models import hmc, priors
+    from gppe_tpu.models import hmc, nuts, priors
     from gppe_tpu.parallel import mesh as mesh_mod
     from gppe_tpu.utils import data as data_utils
 
@@ -33,11 +33,14 @@ def main(num_points=30, noise=0.2, num_chains=8, num_samples=500,
         mesh = mesh_mod.make_mesh(probe=min(num_chains,
                                             len(jax.devices())))
 
+    if sampler not in ("hmc", "nuts"):
+        raise ValueError(f"sampler must be 'hmc' or 'nuts', got {sampler!r}")
+    sampler_mod = {"hmc": hmc, "nuts": nuts}[sampler]
     t0 = time.perf_counter()
-    res = hmc.sample_posterior(pts, z, X, nu=0.5, num_chains=num_chains,
-                               num_samples=num_samples,
-                               num_warmup=num_warmup, key=0,
-                               log_prior=log_prior, mesh=mesh)
+    res = sampler_mod.sample_posterior(
+        pts, z, X, nu=0.5, num_chains=num_chains,
+        num_samples=num_samples, num_warmup=num_warmup, key=0,
+        log_prior=log_prior, mesh=mesh)
     wall = time.perf_counter() - t0
 
     samples = np.asarray(res.samples)          # (S, C, 2)
@@ -53,6 +56,9 @@ def main(num_points=30, noise=0.2, num_chains=8, num_samples=500,
         "samples_per_second": total / wall,
         "wall_seconds": wall,
     }
+    if hasattr(res, "divergences"):          # NUTS diagnostics
+        out["divergences"] = np.asarray(res.divergences)
+        out["mean_tree_depth"] = np.asarray(res.mean_tree_depth)
     if verbose:
         print(f"{total} samples in {wall:.1f}s "
               f"({out['samples_per_second']:.1f} samples/s); "
@@ -69,5 +75,7 @@ if __name__ == "__main__":
     p.add_argument("--num-points", type=int, default=30)
     p.add_argument("--num-chains", type=int, default=8)
     p.add_argument("--num-samples", type=int, default=500)
+    p.add_argument("--sampler", choices=("hmc", "nuts"), default="hmc")
     a = p.parse_args()
-    main(a.num_points, num_chains=a.num_chains, num_samples=a.num_samples)
+    main(a.num_points, num_chains=a.num_chains, num_samples=a.num_samples,
+         sampler=a.sampler)

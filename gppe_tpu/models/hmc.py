@@ -164,6 +164,10 @@ def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
     if init is None:
         base = jnp.asarray([1.0, -1.0])  # log10 eta ~ 10, rho ~ 0.1
         init = base + 0.5 * jax.random.normal(k_init, (num_chains, 2))
+        # chains drawn outside the prior support (lp = -inf) cannot move;
+        # fall back to the in-support base point
+        lp_init = jax.vmap(log_post)(init)
+        init = jnp.where(jnp.isfinite(lp_init)[:, None], init, base)
     init = jnp.asarray(init, dtype=jnp.result_type(0.0))
 
     if mesh is not None:
