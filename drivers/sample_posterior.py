@@ -28,6 +28,11 @@ def main(num_points=30, noise=0.2, num_chains=8, num_samples=500,
         return (priors.uniform_log_prior(eta, (1e-3, 1e4))
                 + priors.uniform_log_prior(rho, (0.02, 0.6)))
 
+    # sample in sigmoid-transformed coordinates over the prior box: no
+    # hard boundary for the integrator (-> no boundary divergences)
+    support = ((np.log10(1e-3), np.log10(1e4)),
+               (np.log10(0.02), np.log10(0.6)))
+
     mesh = None
     if use_mesh and len(jax.devices()) > 1:
         mesh = mesh_mod.make_mesh(probe=min(num_chains,
@@ -40,7 +45,7 @@ def main(num_points=30, noise=0.2, num_chains=8, num_samples=500,
     res = sampler_mod.sample_posterior(
         pts, z, X, nu=0.5, num_chains=num_chains,
         num_samples=num_samples, num_warmup=num_warmup, key=0,
-        log_prior=log_prior, mesh=mesh)
+        log_prior=log_prior, mesh=mesh, support_log10=support)
     wall = time.perf_counter() - t0
 
     samples = np.asarray(res.samples)          # (S, C, 2)

@@ -149,25 +149,42 @@ def hmc_sample(log_prob_fn, init_theta, key, num_samples=1000,
 
 def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
                      num_warmup=300, num_leapfrog=16, key=0,
-                     init=None, log_prior=None, mesh=None):
+                     init=None, log_prior=None, mesh=None,
+                     support_log10=None):
     """Sample the (log10 eta, log10 rho) posterior of a GP dataset.
 
     Chains are a batch axis; with ``mesh`` given, the chain axis is
     sharded over the mesh's 'probe' axis so chains distribute across
     chips/hosts (BASELINE config 5).
+
+    ``support_log10``: optional ((lo, hi), (lo, hi)) log10 box; when given,
+    sampling runs in unconstrained sigmoid-transformed coordinates (no
+    hard prior boundary for the leapfrog to fall off) and the returned
+    samples are mapped back to (log10 eta, log10 rho).
     """
-    from .kernel_posterior import make_log_posterior
-    log_post = make_log_posterior(points, z, X, nu=nu, log_prior=log_prior)
+    from .kernel_posterior import (make_bounded_log_posterior,
+                                   make_log_posterior)
+    u_to_theta = None
+    if support_log10 is not None:
+        log_post, u_to_theta = make_bounded_log_posterior(
+            points, z, X, nu=nu, log10_bounds=support_log10,
+            log_prior=log_prior)
+    else:
+        log_post = make_log_posterior(points, z, X, nu=nu,
+                                      log_prior=log_prior)
 
     rng = jax.random.PRNGKey(key)
     k_init, k_run = jax.random.split(rng)
     if init is None:
-        base = jnp.asarray([1.0, -1.0])  # log10 eta ~ 10, rho ~ 0.1
-        init = base + 0.5 * jax.random.normal(k_init, (num_chains, 2))
-        # chains drawn outside the prior support (lp = -inf) cannot move;
-        # fall back to the in-support base point
-        lp_init = jax.vmap(log_post)(init)
-        init = jnp.where(jnp.isfinite(lp_init)[:, None], init, base)
+        if support_log10 is not None:
+            init = 0.5 * jax.random.normal(k_init, (num_chains, 2))
+        else:
+            base = jnp.asarray([1.0, -1.0])  # log10 eta ~ 10, rho ~ 0.1
+            init = base + 0.5 * jax.random.normal(k_init, (num_chains, 2))
+            # chains drawn outside the prior support (lp = -inf) cannot
+            # move; fall back to the in-support base point
+            lp_init = jax.vmap(log_post)(init)
+            init = jnp.where(jnp.isfinite(lp_init)[:, None], init, base)
     init = jnp.asarray(init, dtype=jnp.result_type(0.0))
 
     if mesh is not None:
@@ -176,5 +193,8 @@ def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
             mesh, jax.sharding.PartitionSpec(PROBE_AXIS, None))
         init = jax.device_put(init, sharding)
 
-    return hmc_sample(log_post, init, k_run, num_samples=num_samples,
-                      num_warmup=num_warmup, num_leapfrog=num_leapfrog)
+    res = hmc_sample(log_post, init, k_run, num_samples=num_samples,
+                     num_warmup=num_warmup, num_leapfrog=num_leapfrog)
+    if u_to_theta is not None:
+        res = res._replace(samples=u_to_theta(res.samples))
+    return res

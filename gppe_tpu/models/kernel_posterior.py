@@ -86,6 +86,34 @@ def make_log_posterior(points, z, X, nu=0.5, log_prior=None):
     return log_post
 
 
+def make_bounded_log_posterior(points, z, X, nu=0.5,
+                               log10_bounds=((-3.0, 4.0), (-2.0, 0.0)),
+                               log_prior=None):
+    """Posterior over UNCONSTRAINED coordinates u for box-bounded
+    hyperparameters: theta = lo + (hi-lo) * sigmoid(u) maps R^2 onto the
+    log10 box, with the log-Jacobian included.
+
+    Hard uniform-prior boundaries make HMC/NUTS leapfrog steps land on
+    log p = -inf (registered as divergences, and they thrash the
+    dual-averaging step size); sampling in u-space removes the boundary
+    entirely. Returns (log_post_u, u_to_theta)."""
+    log_post_theta = make_log_posterior(points, z, X, nu=nu,
+                                        log_prior=log_prior)
+    lo = jnp.asarray([b[0] for b in log10_bounds], dtype=jnp.result_type(0.0))
+    hi = jnp.asarray([b[1] for b in log10_bounds], dtype=lo.dtype)
+
+    def u_to_theta(u):
+        return lo + (hi - lo) * jax.nn.sigmoid(u)
+
+    def log_post_u(u):
+        theta = u_to_theta(u)
+        log_jac = jnp.sum(jnp.log(hi - lo) + jax.nn.log_sigmoid(u)
+                          + jax.nn.log_sigmoid(-u))
+        return log_post_theta(theta) + log_jac
+
+    return log_post_u, u_to_theta
+
+
 @partial(jax.jit, static_argnames=("lp_fn",))
 def grid_evaluate(lp_fn, log10_etas, log10_rhos):
     """Dense (eta, rho) grid of the profile likelihood as one vmapped

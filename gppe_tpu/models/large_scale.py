@@ -71,27 +71,33 @@ class KrylovProfileLikelihood:
         matvec = operator.matmat if hasattr(operator, "matmat") else (
             lambda V: operator @ V)
 
-        # 1) one batched Lanczos pass for the solve bases
-        alphas, betas, V = stochastic.lanczos(matvec, A_dev, lanczos_steps,
-                                              reorthogonalize=True)
-        self.alphas = np.asarray(alphas, dtype=np.float64)   # (s, k)
-        self.betas = np.asarray(betas, dtype=np.float64)     # (s, k-1)
+        # 1) trace engine prepares deflation + projected probes but defers
+        #    its Lanczos: the probe columns ride the SAME batched pass as
+        #    the solve block below (the Pallas matvec pads the RHS width to
+        #    128 lanes anyway, so the merged pass costs one pass, not two).
+        self.traces = stochastic.StochasticTraceEngine(
+            operator, num_probes=num_probes, lanczos_steps=lanczos_steps,
+            key=key, defer_lanczos=True)
 
-        # 2) small projections, computed on-device then shipped to host:
+        # 2) ONE batched Lanczos pass over [z, X, probes]
+        AB = jnp.concatenate([A_dev, self.traces.probes], axis=1)
+        alphas, betas, V = stochastic.lanczos(matvec, AB, lanczos_steps,
+                                              reorthogonalize=True)
+        self.alphas = np.asarray(alphas[:self.s], dtype=np.float64)  # (s, k)
+        self.betas = np.asarray(betas[:self.s], dtype=np.float64)    # (s, k-1)
+        self.traces.finalize(alphas[self.s:], betas[self.s:])
+
+        # 3) small projections, computed on-device then shipped to host:
         #    U[j, :, t] = V_j . a_t       (s, k, s)
         #    G[i, j, a, b] = V_i[a] . V_j[b]   (s, s, k, k)
-        U = jnp.einsum("knj,nt->jkt", V, A_dev,
+        Vs = V[:, :, :self.s]
+        U = jnp.einsum("knj,nt->jkt", Vs, A_dev,
                        precision="highest")
-        Vm = jnp.transpose(V, (2, 0, 1)).reshape(self.s * self.k, self.n)
+        Vm = jnp.transpose(Vs, (2, 0, 1)).reshape(self.s * self.k, self.n)
         G = jnp.matmul(Vm, Vm.T, precision="highest")
         self.U = np.asarray(U, dtype=np.float64)
         self.G = np.asarray(G, dtype=np.float64).reshape(
             self.s, self.k, self.s, self.k).transpose(0, 2, 1, 3)
-
-        # 3) trace engine on the same operator (affine in eta)
-        self.traces = stochastic.StochasticTraceEngine(
-            operator, num_probes=num_probes, lanczos_steps=lanczos_steps,
-            key=key)
 
     # -- per-eta small math ----------------------------------------------
 

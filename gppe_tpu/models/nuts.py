@@ -378,21 +378,38 @@ def nuts_sample(log_prob_fn, init_theta, key, num_samples=1000,
 
 def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
                      num_warmup=300, max_depth=8, key=0, init=None,
-                     log_prior=None, mesh=None):
+                     log_prior=None, mesh=None, support_log10=None):
     """NUTS over the (log10 eta, log10 rho) posterior of a GP dataset —
-    the adaptive-trajectory counterpart of hmc.sample_posterior."""
-    from .kernel_posterior import make_log_posterior
-    log_post = make_log_posterior(points, z, X, nu=nu, log_prior=log_prior)
+    the adaptive-trajectory counterpart of hmc.sample_posterior.
+
+    ``support_log10``: optional ((lo, hi), (lo, hi)) log10 box; when given,
+    sampling runs in unconstrained sigmoid-transformed coordinates (no
+    boundary divergences) and the returned samples are mapped back to
+    (log10 eta, log10 rho). ``init`` is then in the unconstrained space.
+    """
+    from .kernel_posterior import (make_bounded_log_posterior,
+                                   make_log_posterior)
+    u_to_theta = None
+    if support_log10 is not None:
+        log_post, u_to_theta = make_bounded_log_posterior(
+            points, z, X, nu=nu, log10_bounds=support_log10,
+            log_prior=log_prior)
+    else:
+        log_post = make_log_posterior(points, z, X, nu=nu,
+                                      log_prior=log_prior)
 
     rng = jax.random.PRNGKey(key)
     k_init, k_run = jax.random.split(rng)
     if init is None:
-        base = jnp.asarray([1.0, -1.0])
-        init = base + 0.5 * jax.random.normal(k_init, (num_chains, 2))
-        # chains drawn outside the prior support (lp = -inf) cannot move;
-        # fall back to the in-support base point
-        lp_init = jax.vmap(log_post)(init)
-        init = jnp.where(jnp.isfinite(lp_init)[:, None], init, base)
+        if support_log10 is not None:
+            init = 0.5 * jax.random.normal(k_init, (num_chains, 2))
+        else:
+            base = jnp.asarray([1.0, -1.0])
+            init = base + 0.5 * jax.random.normal(k_init, (num_chains, 2))
+            # chains drawn outside the prior support (lp = -inf) cannot
+            # move; fall back to the in-support base point
+            lp_init = jax.vmap(log_post)(init)
+            init = jnp.where(jnp.isfinite(lp_init)[:, None], init, base)
     init = jnp.asarray(init, dtype=jnp.result_type(0.0))
 
     if mesh is not None:
@@ -401,5 +418,8 @@ def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
             mesh, jax.sharding.PartitionSpec(PROBE_AXIS, None))
         init = jax.device_put(init, sharding)
 
-    return nuts_sample(log_post, init, k_run, num_samples=num_samples,
-                       num_warmup=num_warmup, max_depth=max_depth)
+    res = nuts_sample(log_post, init, k_run, num_samples=num_samples,
+                      num_warmup=num_warmup, max_depth=max_depth)
+    if u_to_theta is not None:
+        res = res._replace(samples=u_to_theta(res.samples))
+    return res

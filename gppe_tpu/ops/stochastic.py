@@ -130,7 +130,13 @@ class StochasticTraceEngine:
 
     def __init__(self, K, num_probes=16, lanczos_steps=64, key=0,
                  reorthogonalize=True, probes=None, dtype=None,
-                 deflate=64, deflate_steps=None):
+                 deflate=64, deflate_steps=None, defer_lanczos=False):
+        """``defer_lanczos=True`` prepares the (deflated, projected) probes
+        and exact moments but skips the probe Lanczos pass; the caller runs
+        its own batched Lanczos over ``self.probes`` (typically merged with
+        other right-hand sides into ONE pass — see
+        models.large_scale.KrylovProfileLikelihood) and hands the probe
+        coefficients back through ``finalize(alphas, betas)``."""
         self.matvec = _as_matvec(K)
         self.n = K.shape[0]
         self.num_probes = num_probes
@@ -203,14 +209,25 @@ class StochasticTraceEngine:
         self.probes = probes
         self.probe_norm2 = np.asarray(
             jnp.sum(probes * probes, axis=0), dtype=np.float64)
+        self._reorthogonalize = reorthogonalize
+        self._dt = inference_dtype()
 
-        alphas, betas, _V = lanczos(self.matvec, probes, self.lanczos_steps,
-                                    reorthogonalize=reorthogonalize)
+        if defer_lanczos:
+            self.theta = None
+            self.tau = None
+        else:
+            alphas, betas, _V = lanczos(self.matvec, probes,
+                                        self.lanczos_steps,
+                                        reorthogonalize=reorthogonalize)
+            self.finalize(alphas, betas)
+
+    def finalize(self, alphas, betas):
+        """Install probe tridiagonal coefficients ((p, k), (p, k-1)) from
+        an externally run Lanczos pass over ``self.probes``."""
         theta, tau = ritz_decompose(alphas, betas)
         # clip tiny negative Ritz values from f32 roundoff: K is PSD
         self.theta = np.maximum(theta, 0.0)
         self.tau = tau
-        self._dt = inference_dtype()
 
     def _quad(self, f, eta):
         """trace f(K + eta I): exact deflated part + regression-adjusted

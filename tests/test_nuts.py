@@ -61,3 +61,24 @@ def test_nuts_matches_hmc_on_gp_posterior():
     # leapfrog steps into log p = -inf); those subtrees are correctly
     # discarded, so only sanity-bound the count rather than requiring 0.
     assert float(res_n.divergences.sum()) < 0.9 * 4 * 400
+
+
+def test_bounded_support_sampling():
+    """Sigmoid-transformed (bounded-box) sampling: no divergences, samples
+    inside the box, NUTS and HMC agree."""
+    pts = data_utils.generate_points(8, dimension=2)   # n = 64
+    z = data_utils.generate_data(pts, 0.3)
+    X = data_utils.generate_basis_functions(pts, 1)
+    box = ((-2.0, 3.0), (np.log10(0.03), np.log10(0.45)))
+
+    kw = dict(nu=0.5, num_chains=4, num_samples=300, num_warmup=300,
+              key=2, support_log10=box)
+    res_n = nuts.sample_posterior(pts, z, X, max_depth=6, **kw)
+    res_h = hmc.sample_posterior(pts, z, X, num_leapfrog=10, **kw)
+    s_n = np.asarray(res_n.samples).reshape(-1, 2)
+    s_h = np.asarray(res_h.samples).reshape(-1, 2)
+
+    assert float(res_n.divergences.sum()) == 0.0
+    assert s_n[:, 0].min() >= box[0][0] and s_n[:, 0].max() <= box[0][1]
+    assert s_n[:, 1].min() >= box[1][0] and s_n[:, 1].max() <= box[1][1]
+    np.testing.assert_allclose(s_n.mean(0), s_h.mean(0), atol=0.3)
