@@ -52,14 +52,15 @@ def hmc_sample(log_prob_fn, init_theta, key, num_samples=1000,
     chains, dim = init_theta.shape
     dtype = init_theta.dtype
 
-    value_and_grad = jax.value_and_grad(log_prob_fn)
-    batched_vg = jax.vmap(value_and_grad)
-    batched_grad = jax.vmap(jax.grad(log_prob_fn))
+    def _lp(th):
+        # keep scan carries in the sampler-state dtype even when the
+        # target computes in another precision
+        return log_prob_fn(th).astype(dtype)
 
-    def grad_fn_batched(th):
-        return batched_grad(th)
+    def _grad(th):
+        return jax.grad(log_prob_fn)(th).astype(dtype)
 
-    lp0, _ = batched_vg(init_theta)
+    lp0 = jax.vmap(_lp)(init_theta)
 
     # dual averaging state (per chain)
     mu = jnp.log(10.0 * init_step_size) * jnp.ones(chains, dtype)
@@ -87,10 +88,9 @@ def hmc_sample(log_prob_fn, init_theta, key, num_samples=1000,
               / jnp.sqrt(inv_mass))
 
         def one_chain(th, m, e, im):
-            return _leapfrog(jax.grad(log_prob_fn), th, m, e, im,
-                             num_leapfrog)
+            return _leapfrog(_grad, th, m, e, im, num_leapfrog)
         theta_new, mo_new = jax.vmap(one_chain)(theta, mo, eps, inv_mass)
-        lp_new = jax.vmap(log_prob_fn)(theta_new)
+        lp_new = jax.vmap(_lp)(theta_new)
         lp_new = jnp.where(jnp.isfinite(lp_new), lp_new, -jnp.inf)
 
         ke_old = 0.5 * jnp.sum(mo * mo * inv_mass, axis=1)

@@ -38,27 +38,32 @@ def make_profile_loglik(points, z, X, nu=0.5, dtype=None):
     n, m = X_.shape
 
     def lp(log10_eta, log10_rho):
-        eta = jnp.power(10.0, jnp.asarray(log10_eta, dtype))
-        rho = jnp.power(10.0, jnp.asarray(log10_rho, dtype))
-        dist = kernels.pairwise_scaled_distance(pts, pts, rho)
-        K = kernels.matern(dist, nu)
-        Kn = K + eta * jnp.eye(n, dtype=dtype)
-        L = jnp.linalg.cholesky(Kn)
-        rhs = jnp.concatenate([z_[:, None], X_], axis=1)
-        W = jax.scipy.linalg.cho_solve((L, True), rhs)
-        w = W[:, 0]
-        Y = W[:, 1:]
-        B = X_.T @ Y
-        LB = jnp.linalg.cholesky(0.5 * (B + B.T))
-        logdet_B = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
-        c = jax.scipy.linalg.cho_solve((LB, True), X_.T @ w)
-        zMz = z_ @ w - (X_.T @ w) @ c
-        sigma2 = zMz / (n - m)
-        logdet_Kn = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-        # profile lp at sigma^2 = zMz/(n-m): the data term collapses to
-        # (n-m)/2
-        return (-0.5 * (n - m) * jnp.log(sigma2) - 0.5 * logdet_Kn
-                - 0.5 * logdet_B - 0.5 * (n - m))
+        # full-f32 matmul accumulation: the TPU default matmul precision is
+        # bf16-grade, which puts O(1) noise on the log-likelihood — enough
+        # to wreck HMC/NUTS energy differences (measured: single-transition
+        # accept 0.14 vs 0.99). HIGHEST costs 3 MXU passes and is required.
+        with jax.default_matmul_precision("highest"):
+            eta = jnp.power(10.0, jnp.asarray(log10_eta, dtype))
+            rho = jnp.power(10.0, jnp.asarray(log10_rho, dtype))
+            dist = kernels.pairwise_scaled_distance(pts, pts, rho)
+            K = kernels.matern(dist, nu)
+            Kn = K + eta * jnp.eye(n, dtype=dtype)
+            L = jnp.linalg.cholesky(Kn)
+            rhs = jnp.concatenate([z_[:, None], X_], axis=1)
+            W = jax.scipy.linalg.cho_solve((L, True), rhs)
+            w = W[:, 0]
+            Y = W[:, 1:]
+            B = X_.T @ Y
+            LB = jnp.linalg.cholesky(0.5 * (B + B.T))
+            logdet_B = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
+            c = jax.scipy.linalg.cho_solve((LB, True), X_.T @ w)
+            zMz = z_ @ w - (X_.T @ w) @ c
+            sigma2 = zMz / (n - m)
+            logdet_Kn = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+            # profile lp at sigma^2 = zMz/(n-m): the data term collapses
+            # to (n-m)/2
+            return (-0.5 * (n - m) * jnp.log(sigma2) - 0.5 * logdet_Kn
+                    - 0.5 * logdet_B - 0.5 * (n - m))
 
     return lp
 
@@ -101,14 +106,19 @@ def make_bounded_log_posterior(points, z, X, nu=0.5,
                                         log_prior=log_prior)
     lo = jnp.asarray([b[0] for b in log10_bounds], dtype=jnp.result_type(0.0))
     hi = jnp.asarray([b[1] for b in log10_bounds], dtype=lo.dtype)
+    # keep theta strictly INSIDE the box: a saturated sigmoid rounds theta
+    # onto the edge and 10**theta can land epsilon outside a natural-
+    # parameter prior bound (-inf -> spurious divergence)
+    margin = 1e-6
 
     def u_to_theta(u):
-        return lo + (hi - lo) * jax.nn.sigmoid(u)
+        s = margin + (1.0 - 2.0 * margin) * jax.nn.sigmoid(u)
+        return lo + (hi - lo) * s
 
     def log_post_u(u):
         theta = u_to_theta(u)
-        log_jac = jnp.sum(jnp.log(hi - lo) + jax.nn.log_sigmoid(u)
-                          + jax.nn.log_sigmoid(-u))
+        log_jac = jnp.sum(jnp.log(hi - lo) + jnp.log1p(-2.0 * margin)
+                          + jax.nn.log_sigmoid(u) + jax.nn.log_sigmoid(-u))
         return log_post_theta(theta) + log_jac
 
     return log_post_u, u_to_theta

@@ -298,7 +298,14 @@ def nuts_sample(log_prob_fn, init_theta, key, num_samples=1000,
     chains, dim = init_theta.shape
     dtype = init_theta.dtype
 
-    vg_fn = jax.value_and_grad(log_prob_fn)
+    _vg = jax.value_and_grad(log_prob_fn)
+
+    def vg_fn(z):
+        # the target may compute (and return) in a different precision
+        # than the sampler state (e.g. f32 likelihood under x64); keep the
+        # scan carries in the state dtype
+        v, g = _vg(z)
+        return v.astype(dtype), g.astype(dtype)
 
     lp0, grad0 = jax.vmap(vg_fn)(init_theta)
 
