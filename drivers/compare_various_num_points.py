@@ -86,7 +86,8 @@ def run_krylov(n, noise=0.2, scale=0.1, nu=0.5, density=None, seed=7):
     return {"pre_s": pre, "opt_s": opt, **r}
 
 
-def main(dense_sides=(23, 27, 32, 45, 54, 64), krylov_ns=(16384, 65536),
+def main(dense_sides=(23, 27, 32, 45, 54, 64),
+         krylov_ns=(4096, 16384, 65536),
          results_path="data/various_number_of_points.pickle",
          use_saved=False, verbose=True):
     """dense_sides mirror the reference's N in {529...4096}

@@ -95,7 +95,10 @@ class MixedCorrelation:
         else:
             self.n = self.K.shape[0]
             if method == "eigenvalue":
-                lam, Q = jnp.linalg.eigh(self.K)
+                # highest matmul precision: eigh's blocked iterations at
+                # TPU-default (bf16-grade) precision cost ~3 digits
+                with jax.default_matmul_precision("highest"):
+                    lam, Q = jnp.linalg.eigh(self.K)
                 self.eigenvalues = lam
                 self.eigenvectors = Q
             else:

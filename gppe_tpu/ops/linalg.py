@@ -14,13 +14,19 @@ import jax.numpy as jnp
 
 
 def cholesky_factor(Kn):
-    """Lower Cholesky factor of an SPD matrix (XLA's blocked kernel)."""
-    return jnp.linalg.cholesky(Kn)
+    """Lower Cholesky factor of an SPD matrix (XLA's blocked kernel).
+
+    Traced under highest matmul precision: the blocked factorization's
+    inner matmuls at TPU-default (bf16-grade) precision lose ~3 digits.
+    """
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.cholesky(Kn)
 
 
 def cholesky_solve(L, B):
     """Solve K x = B given the lower Cholesky factor L of K."""
-    return jax.scipy.linalg.cho_solve((L, True), B)
+    with jax.default_matmul_precision("highest"):
+        return jax.scipy.linalg.cho_solve((L, True), B)
 
 
 def cholesky_logdet(L):
@@ -37,12 +43,14 @@ def cholesky_traceinv(L, exponent: int = 1):
     """
     n = L.shape[0]
     eye = jnp.eye(n, dtype=L.dtype)
-    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    if exponent == 1:
-        return jnp.sum(Linv * Linv)
-    if exponent == 2:
-        Kinv = Linv.T @ Linv
-        return jnp.sum(Kinv * Kinv)
+    # full-f32 accumulation: TPU default matmul precision is bf16-grade
+    with jax.default_matmul_precision("highest"):
+        Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        if exponent == 1:
+            return jnp.sum(Linv * Linv)
+        if exponent == 2:
+            Kinv = Linv.T @ Linv
+            return jnp.sum(Kinv * Kinv)
     raise ValueError("exponent must be 1 or 2")
 
 
