@@ -63,9 +63,10 @@ def generate_correlation(points, correlation_scale=0.1, nu=0.5, grid=True,
     """Front-end matching the reference API
     (generate_correlation/generate_correlation.py:32-40).
 
-    Returns a dense jnp array, or a :class:`gppe_tpu.ops.taper.TaperedMatrix`
-    when ``sparse=True`` (block-sparse tapered representation — the
-    TPU-native analogue of the reference's CSR tapering).
+    Returns a dense jnp array, or a scipy CSR matrix when ``sparse=True``
+    (exact tapered correlation, built by the native C++/OpenMP cell-binned
+    builder when available; the scalable on-TPU form of the same object is
+    :class:`gppe_tpu.ops.taper.TaperedMaternOperator`).
     """
     points = jnp.asarray(points)
     if points.ndim != 2:
