@@ -15,19 +15,42 @@ import argparse
 import numpy as np
 
 
-def build_objective(pts, z, X, with_prior):
+def build_objective(pts, z, X, with_prior, spectral_on_host=None):
+    import jax
     import jax.numpy as jnp
 
     from gppe_tpu.models import profile_likelihood  # noqa: F401
-    from gppe_tpu.models.priors import uniform_log_prior
+    from gppe_tpu.models.priors import (inverse_square_log_prior,
+                                        uniform_log_prior)
     from gppe_tpu.ops import kernels
-    from gppe_tpu.utils.config import compute_dtype
+    from gppe_tpu.utils import config as cfg
+    from gppe_tpu.utils.config import compute_dtype, inference_dtype
 
-    dtype = compute_dtype()
-    pts_j = jnp.asarray(pts, dtype=dtype)
-    z_j = jnp.asarray(z, dtype=dtype)
-    X_j = jnp.asarray(X, dtype=dtype)
     n, m = X.shape
+    # Device policy: this driver's problems are small (the reference grid
+    # is n = 900) but precision-hostile — at general nu the spectrum
+    # decays fast and an f32 eigendecomposition distorts the surface by
+    # ~0.7 nats (measured at the golden MAP argmax). On TPU sessions the
+    # n <= 4096 spectral stage therefore runs on the host CPU in f64
+    # (like the package-wide inference_device policy); the TPU is the
+    # right device for the large-n Krylov engines, not for tiny
+    # ill-conditioned eigenproblems over a tunneled dispatch.
+    if spectral_on_host is None:
+        spectral_on_host = cfg.is_tpu() and n <= 4096
+    if spectral_on_host:
+        device = cfg.host_device()
+        dtype = inference_dtype()
+    else:
+        device = None
+        dtype = compute_dtype()
+
+    def _put(a):
+        a = jnp.asarray(a, dtype=dtype)
+        return jax.device_put(a, device) if device is not None else a
+
+    pts_j = _put(pts)
+    z_j = _put(z)
+    X_j = _put(X)
 
     def lp(rho, nu):
         """Profile likelihood maximized over (sigma, eta) analytically in
@@ -38,9 +61,16 @@ def build_objective(pts, z, X, with_prior):
         dist = kernels.pairwise_scaled_distance(pts_j, pts_j, rho)
         K = kernels.matern(dist, nu)   # traced nu -> Bessel branch
         lam, Q = jnp.linalg.eigh(K)
-        lam = jnp.maximum(lam, 0.0)
-        Xt = Q.T @ X_j
-        zt = Q.T @ z_j
+        # the heavy O(n^3) math above runs compute_dtype (f32 on TPU); the
+        # O(n m) likelihood scalars below resolve ~1e-6 relative
+        # cancellations and are promoted to f64 (the package-wide
+        # inference_dtype policy — f32 scalars put the surface ~6 nats off
+        # the golden). Small-array f64 is fine on TPU; the O(n^3) part is
+        # what f64 emulation cannot afford.
+        f64 = inference_dtype()
+        lam = jnp.maximum(lam, 0.0).astype(f64)
+        Xt = (Q.T @ X_j).astype(f64)
+        zt = (Q.T @ z_j).astype(f64)
 
         def neg_prof(log10_eta):
             eta = jnp.power(10.0, log10_eta)
@@ -78,22 +108,59 @@ def build_objective(pts, z, X, with_prior):
         best = 0.5 * (lo + hi)
         return -neg_prof(best)
 
+    def lp4(rho, nu, sigma, sigma0):
+        """Full direct log-likelihood at explicit (sigma, sigma0) — the
+        reference's 4-parameter mode (:148-199), which skips the inner
+        sigma/eta profiling entirely."""
+        from gppe_tpu.models import direct_likelihood as dl
+
+        dist = kernels.pairwise_scaled_distance(pts_j, pts_j, rho)
+        K = kernels.matern(dist, nu)
+        lam, Q = jnp.linalg.eigh(K)
+        f64 = inference_dtype()
+        sd = dl.SpectralData(
+            lam=jnp.maximum(lam, 0.0).astype(f64),
+            Xt=(Q.T @ X_j).astype(f64),
+            zt=(Q.T @ z_j).astype(f64))
+        return dl.log_likelihood(sd, sigma, sigma0)
+
+    def objective4(params):
+        """negative log posterior over params = [rho, nu, sigma, sigma0]
+        (reference :148-199: uniform supports only; the 4-param mode was
+        never run with the inverse-square priors)."""
+        rho, nu, sigma, sigma0 = params[0], params[1], params[2], params[3]
+        val = lp4(rho, nu, sigma, sigma0)
+        val = val + uniform_log_prior(rho, (1e-3, jnp.inf))
+        val = val + uniform_log_prior(nu, (1e-2, 25.0))
+        val = val + uniform_log_prior(sigma, (0.0, jnp.inf))
+        val = val + uniform_log_prior(sigma0, (0.0, jnp.inf))
+        return -val
+
     def objective(params):
         """negative log posterior over params = [rho, nu]."""
         rho, nu = params[0], params[1]
         val = lp(rho, nu)
         if with_prior:
-            # reference :119-130: uniform rho >= 0, nu in [0, 25]
+            # The golden OptimalCovariance_WithPrior.pickle was generated
+            # with the inverse-square priors (reference :128-130 —
+            # verified: Lp_with - Lp_without == -2 log(1+rho)
+            # - 2 log(1+nu/25) to 6e-14), plus the support bounds of the
+            # uniform priors at :119-125.
             val = val + uniform_log_prior(rho, (1e-3, jnp.inf))
             val = val + uniform_log_prior(nu, (1e-2, 25.0))
+            val = val + inverse_square_log_prior(rho)
+            val = val + inverse_square_log_prior(nu, scale=25.0)
         return -val
 
+    objective.four_param = objective4
+    objective.lp4 = lp4
+    objective.device = device
     return lp, objective
 
 
 def main(num_points=30, noise=0.05, with_prior=False, grid_rho=25,
          grid_nu=24, results_path=None, use_saved=False, verbose=True,
-         run_de=True):
+         run_de=True, four_param=False):
     from gppe_tpu.utils import checkpoint
     from gppe_tpu.utils import config as cfg
     from gppe_tpu.utils import data as data_utils
@@ -109,20 +176,29 @@ def main(num_points=30, noise=0.05, with_prior=False, grid_rho=25,
         results_path = f"data/optimal_covariance_{tag}_prior.pickle"
 
     def compute():
+        import contextlib
+
         pts = data_utils.generate_points(num_points, dimension=2)
         z = data_utils.generate_data(pts, noise)
         X = data_utils.generate_basis_functions(pts, polynomial_degree=2)
         lp, objective = build_objective(pts, z, X, with_prior)
+        # keep every derived array (jit outputs, DE population, bounds) on
+        # the device build_objective committed its inputs to
+        def dev_ctx():
+            return (jax.default_device(objective.device)
+                    if objective.device is not None
+                    else contextlib.nullcontext())
 
         # grid over (rho, nu) — the reference's 61x60 grid (:664-666),
         # sized by arguments; vmapped in row chunks
         rhos = np.linspace(0.1, 0.3, grid_rho)
         nus = np.linspace(1.0, 25.0, grid_nu)
         lp_rows = []
-        lp_v = jax.jit(jax.vmap(lp, in_axes=(None, 0)))
-        for rho in rhos:
-            lp_rows.append(np.asarray(
-                lp_v(jnp.asarray(rho), jnp.asarray(nus))))
+        with dev_ctx():
+            lp_v = jax.jit(jax.vmap(lp, in_axes=(None, 0)))
+            for rho in rhos:
+                lp_rows.append(np.asarray(
+                    lp_v(jnp.asarray(rho), jnp.asarray(nus))))
         Lp = np.stack(lp_rows)  # (grid_rho, grid_nu)
         i, j = np.unravel_index(np.nanargmax(Lp), Lp.shape)
         out = {
@@ -136,9 +212,10 @@ def main(num_points=30, noise=0.05, with_prior=False, grid_rho=25,
                   f"rho={out['optimal_rho']:.4f} nu={out['optimal_nu']:.3f}")
 
         if run_de:
-            res = differential_evolution(
-                objective, jnp.asarray([[0.1, 0.3], [1.0, 25.0]]),
-                key=31, popsize=24, max_generations=40, tol=1e-5)
+            with dev_ctx():
+                res = differential_evolution(
+                    objective, jnp.asarray([[0.1, 0.3], [1.0, 25.0]]),
+                    key=31, popsize=24, max_generations=40, tol=1e-5)
             out["de_rho"] = float(res.x[0])
             out["de_nu"] = float(res.x[1])
             out["de_lp"] = -float(res.fun)
@@ -147,6 +224,26 @@ def main(num_points=30, noise=0.05, with_prior=False, grid_rho=25,
                 print(f"DE optimum: Lp={out['de_lp']:.3f} at "
                       f"rho={out['de_rho']:.4f} nu={out['de_nu']:.3f} "
                       f"({out['de_generations']} generations)")
+
+        if four_param:
+            # the reference's direct 4-parameter mode (:148-199): optimize
+            # (rho, nu, sigma, sigma0) jointly without the inner profiling
+            with dev_ctx():
+                res4 = differential_evolution(
+                    objective.four_param,
+                    jnp.asarray([[0.05, 0.3], [1.0, 25.0],
+                                 [1e-3, 2.0], [1e-3, 2.0]]),
+                    key=31, popsize=32, max_generations=60, tol=1e-5)
+            out["de4_rho"] = float(res4.x[0])
+            out["de4_nu"] = float(res4.x[1])
+            out["de4_sigma"] = float(res4.x[2])
+            out["de4_sigma0"] = float(res4.x[3])
+            out["de4_lp"] = -float(res4.fun)
+            if verbose:
+                print(f"4-param DE optimum: Lp={out['de4_lp']:.3f} at "
+                      f"rho={out['de4_rho']:.4f} nu={out['de4_nu']:.3f} "
+                      f"sigma={out['de4_sigma']:.4f} "
+                      f"sigma0={out['de4_sigma0']:.4f}")
         return out
 
     return checkpoint.run_or_resume(results_path, compute,
@@ -159,5 +256,9 @@ if __name__ == "__main__":
     p.add_argument("--noise", type=float, default=0.05)
     p.add_argument("--with-prior", action="store_true")
     p.add_argument("--use-saved", action="store_true")
+    p.add_argument("--four-param", action="store_true",
+                   help="also run the direct 4-parameter optimization "
+                        "over (rho, nu, sigma, sigma0)")
     a = p.parse_args()
-    main(a.num_points, a.noise, a.with_prior, use_saved=a.use_saved)
+    main(a.num_points, a.noise, a.with_prior, use_saved=a.use_saved,
+         four_param=a.four_param)

@@ -74,6 +74,14 @@ def generate_correlation(points, correlation_scale=0.1, nu=0.5, grid=True,
     scale = kernels.broadcast_scale(correlation_scale, points.shape[1])
     if np.any(np.asarray(scale) <= 0.0):
         raise ValueError("correlation_scale must be positive")
+    # the Matern class is defined for nu > 0 only (the reference's
+    # general-nu branch divides by gamma(nu), _kernels.pyx:83-88)
+    try:
+        nu_ok = float(nu) > 0.0
+    except (TypeError, ValueError):
+        nu_ok = False
+    if not nu_ok:
+        raise ValueError(f"nu must be a positive scalar, got {nu!r}")
 
     if sparse:
         from . import taper

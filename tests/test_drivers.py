@@ -59,6 +59,47 @@ def test_find_optimal_covariance_driver(tmp_path):
     assert 0.1 <= res["optimal_rho"] <= 0.3
 
 
+def test_find_optimal_covariance_four_param_consistency(tmp_path):
+    """The 4-param direct objective evaluated at the profiled optimum
+    (sigma(eta*), sigma0(eta*)) must reproduce the 2-param profiled lp —
+    the reference's own cross-mode oracle (FindOptimalCovarianceParameters
+    2- vs 4-param modes)."""
+    from drivers import find_optimal_covariance as drv
+    from gppe_tpu.models import direct_likelihood as dl
+    from gppe_tpu.models import profile_likelihood as pl
+    from gppe_tpu.models.mixed_correlation import MixedCorrelation
+    from gppe_tpu.utils import data as data_utils
+
+    import gppe_tpu
+
+    pts = data_utils.generate_points(10, dimension=2)
+    z = data_utils.generate_data(pts, 0.1)
+    X = data_utils.generate_basis_functions(pts, 2)
+    lp, objective = drv.build_objective(pts, z, X, with_prior=False)
+
+    rho, nu = 0.15, 1.5
+    K = gppe_tpu.generate_correlation(pts, rho, nu=nu)
+    sd = dl.make_spectral_data(MixedCorrelation(K, method="eigenvalue"),
+                               X, z)
+    r = pl.find_log_likelihood_der1_zeros(sd, [1e-4, 1e3])
+
+    lp2 = float(lp(rho, nu))
+    lp4 = float(objective.lp4(rho, nu, r["sigma"], max(r["sigma0"],
+                                                       1e-12)))
+    # lp() omits the (n-m)/2 log(2pi) constant (legacy-surface parity);
+    # lp4 is the full direct likelihood
+    n, m = X.shape
+    const = 0.5 * (n - m) * np.log(2.0 * np.pi)
+    # lp() maximizes eta by grid+golden search, so it sits at most ~1e-2
+    # below the exact profiled optimum that lp4 is evaluated at
+    np.testing.assert_allclose(lp4 + const, lp2, atol=2e-2)
+    assert lp4 + const >= lp2 - 1e-6
+
+    # uniform support enforcement of the 4-param posterior
+    neg = float(objective.four_param(np.array([rho, 26.0, 0.1, 0.1])))
+    assert neg == np.inf
+
+
 def test_scaling_efficiency_driver():
     from drivers import scaling_efficiency as drv
     res = drv.main(n=256, device_counts=[1, 2], verbose=False)

@@ -17,6 +17,17 @@ quantities with this framework and compare:
   examples/FindOptimalCovarianceParameters.py:643-666). The legacy stack
   omits the -(n-m)/2 log(2pi) constant, so the surfaces must agree up to
   exactly that additive constant.
+* ``OptimalCovariance_WithPrior.pickle`` — the MAP surface. Generated with
+  the inverse-square priors 1/(1+rho)^2 and 1/(1+nu/25)^2 (reference
+  examples/FindOptimalCovarianceParameters.py:128-130; verified:
+  Lp_with - Lp_without equals exactly the two log-priors, max deviation
+  6e-14 over the whole 61x60 grid), which move the ridge optimum from the
+  nu=25 bound to the interior MAP point (rho~0.177, nu~3.03).
+
+The remaining two pickles, ``VariousNumberOfPoints-{dense,sparse}.pickle``,
+are *timing* records (the reference machine's wall-clock per phase), not
+correctness goldens — they are the baselines ``bench.py`` and
+``drivers/compare_various_num_points.py`` race against (see BASELINE.md).
 """
 
 import os
@@ -124,3 +135,40 @@ def test_optimal_covariance_surface_matches_golden():
         lp = float(dl.log_likelihood(sd, r["sigma"],
                                      max(r["sigma0"], 1e-10)))
         assert lp + const == pytest.approx(Lp[i, j], abs=5e-3), (i, j)
+
+
+@requires_goldens
+def test_optimal_covariance_map_matches_golden():
+    """The MAP (with-prior) surface: log-posterior values recomputed with
+    this framework's likelihood + priors agree with the golden at the
+    golden's own argmax (the interior MAP point rho~0.1767, nu~3.034 from
+    SURVEY §6) and at spread-out probes."""
+    from gppe_tpu.models.priors import inverse_square_log_prior
+
+    ref = _load("OptimalCovariance_WithPrior.pickle")
+    rho_grid = np.asarray(ref["DecorrelationScale"])
+    nu_grid = np.asarray(ref["nu"])
+    Lp = np.asarray(ref["Lp"])
+
+    pts = data_utils.generate_points(30, dimension=2)   # n = 900 grid
+    z = data_utils.generate_data(pts, 0.2)
+    X = data_utils.generate_basis_functions(pts, 2)
+    n, m = X.shape
+    const = 0.5 * (n - m) * np.log(2.0 * np.pi)
+
+    imax = np.unravel_index(np.argmax(Lp), Lp.shape)
+    assert rho_grid[imax[0]] == pytest.approx(0.17667, abs=1e-4)
+    assert nu_grid[imax[1]] == pytest.approx(3.0339, abs=1e-3)
+
+    probe = [tuple(imax), (10, 40), (45, 20)]
+    for i, j in probe:
+        rho, nu = float(rho_grid[i]), float(nu_grid[j])
+        K = gppe_tpu.generate_correlation(pts, rho, nu=nu)
+        Km = MixedCorrelation(K, method="eigenvalue")
+        sd = dl.make_spectral_data(Km, X, z)
+        r = pl.find_log_likelihood_der1_zeros(sd, [1e-4, 1e3])
+        lik = float(dl.log_likelihood(sd, r["sigma"],
+                                      max(r["sigma0"], 1e-10)))
+        log_post = (lik + float(inverse_square_log_prior(rho))
+                    + float(inverse_square_log_prior(nu, scale=25.0)))
+        assert log_post + const == pytest.approx(Lp[i, j], abs=5e-3), (i, j)
