@@ -13,6 +13,34 @@ import jax
 import jax.numpy as jnp
 
 
+def host_eigh(K, out_dtype=None):
+    """Symmetric eigendecomposition, routed to the host CPU on TPU sessions.
+
+    The exact-eigenvalue path (reference: mixed_correlation.py:76-79 —
+    one scipy eigh, then O(n) per optimizer step) is a ONE-TIME O(n^3)
+    precompute. On TPU, ``jnp.linalg.eigh``'s iterative blocked algorithm
+    is a poor fit (~190 s at n = 4096 on one v5e chip, f32 only); native
+    f64 LAPACK on the host CPU does it in ~9 s with full accuracy. The
+    per-step spectral likelihood math stays on-device. On CPU sessions
+    this is just eigh under the x64 policy.
+
+    Returns (eigenvalues, eigenvectors) cast to ``out_dtype`` (default:
+    K's dtype) on the default device.
+    """
+    from ..utils.config import is_tpu
+    out_dtype = out_dtype or K.dtype
+    if is_tpu():
+        cpu = jax.devices("cpu")[0]
+        Kh = jax.device_put(jnp.asarray(K), cpu).astype(jnp.float64)
+        with jax.default_device(cpu):
+            lam, Q = jnp.linalg.eigh(Kh)
+        return (jax.device_put(lam.astype(out_dtype)),
+                jax.device_put(Q.astype(out_dtype)))
+    with jax.default_matmul_precision("highest"):
+        lam, Q = jnp.linalg.eigh(jnp.asarray(K))
+    return lam.astype(out_dtype), Q.astype(out_dtype)
+
+
 def cholesky_factor(Kn):
     """Lower Cholesky factor of an SPD matrix (XLA's blocked kernel).
 
