@@ -31,6 +31,41 @@ def _rect_matern_matmat(pts_rows, pts_cols, scale, V, nu):
     return jnp.matmul(Kblk, V, precision="highest")
 
 
+def ring_matern_matmat(pts_local, scale, V_local, nu, axis, n_blocks):
+    """Ring-pipelined matvec with the Krylov vector kept SHARDED.
+
+    The all-gather matvec materializes the full (n, r) vector on every
+    chip each Lanczos step. Here both the points and V stay row-sharded:
+    each of the ``n_blocks`` ring steps multiplies the local row-block of
+    the never-materialized Matern operator against the currently-held
+    column block and ``ppermute``s that block to the next neighbor, so
+    per-chip memory stays O(n/p) and XLA overlaps the ICI transfer of
+    step i+1 with the MXU matmul of step i (SURVEY.md §7 "hard parts":
+    overlapped block-matvec collectives, not naive gather-per-step).
+
+    Must be called inside a shard_map with ``axis`` in scope.
+    pts_local: (n_l, d); V_local: (n_l, r). Returns (n_l, r).
+    """
+    if n_blocks == 1:
+        # degenerate ring: the self-permute [(0, 0)] breaks the TPU
+        # compiler and communicates nothing anyway
+        return _rect_matern_matmat(pts_local, pts_local, scale, V_local,
+                                   nu)
+    perm = [(j, (j + 1) % n_blocks) for j in range(n_blocks)]
+
+    def body(_, carry):
+        acc, pts_rot, V_rot = carry
+        blk = _rect_matern_matmat(pts_local, pts_rot, scale, V_rot, nu)
+        pts_rot = jax.lax.ppermute(pts_rot, axis, perm)
+        V_rot = jax.lax.ppermute(V_rot, axis, perm)
+        return acc + blk, pts_rot, V_rot
+
+    acc = jnp.zeros_like(V_local)
+    acc, _, _ = jax.lax.fori_loop(0, n_blocks, body,
+                                  (acc, pts_local, V_local))
+    return acc
+
+
 def _local_lanczos(matmat, V0_local, num_steps, axis):
     """Lanczos with vectors sharded over ``axis``; reductions are psums.
 
@@ -89,7 +124,8 @@ def _tridiag_dense(alphas, betas):
     return T
 
 
-def build_sharded_profile_step(mesh, nu=0.5, lanczos_steps=16):
+def build_sharded_profile_step(mesh, nu=0.5, lanczos_steps=16,
+                               comm="ring"):
     """Compile one full multi-chip profile-likelihood step.
 
     Returns a jitted fn(points_local..., see below) over the mesh that:
@@ -99,11 +135,21 @@ def build_sharded_profile_step(mesh, nu=0.5, lanczos_steps=16):
       3. computes Ritz quadrature + Krylov solves for a *batch* of etas,
       4. returns der1(eta), traceinv(eta), logdet(eta) — replicated.
 
-    This is the real multi-chip training-step graph: all-gathers along
+    This is the real multi-chip training-step graph: collectives along
     'block' inside every matvec, psum reductions for the Lanczos scalars,
     probe-mean psums along 'probe'.
+
+    ``comm`` selects the matvec communication schedule:
+      * ``'ring'`` (default) — ppermute ring pipelining; Krylov vectors
+        stay sharded, per-chip memory O(n/p), transfer of block i+1
+        overlaps the matmul of block i.
+      * ``'allgather'`` — gather the full vector each step (simpler,
+        materializes (n, r) per chip; the baseline schedule).
     """
+    if comm not in ("ring", "allgather"):
+        raise ValueError(f"unknown comm schedule '{comm}'")
     k = lanczos_steps
+    n_blocks = int(mesh.shape[BLOCK_AXIS])
 
     def step(points, scale, X, z, probes, etas):
         n, d = points.shape
@@ -113,10 +159,16 @@ def build_sharded_profile_step(mesh, nu=0.5, lanczos_steps=16):
         def body(pts_l, pts_f, scale_, X_l, z_l, probes_l, etas_):
             rhs_l = jnp.concatenate([z_l[:, None], X_l], axis=1)  # (n_l, s)
 
-            def matmat(V_l):
-                V_f = jax.lax.all_gather(V_l, BLOCK_AXIS, axis=0,
-                                         tiled=True)
-                return _rect_matern_matmat(pts_l, pts_f, scale_, V_f, nu)
+            if comm == "ring":
+                def matmat(V_l):
+                    return ring_matern_matmat(pts_l, scale_, V_l, nu,
+                                              BLOCK_AXIS, n_blocks)
+            else:
+                def matmat(V_l):
+                    V_f = jax.lax.all_gather(V_l, BLOCK_AXIS, axis=0,
+                                             tiled=True)
+                    return _rect_matern_matmat(pts_l, pts_f, scale_, V_f,
+                                               nu)
 
             # 1) solve bases
             a_s, b_s, Vs, nrm_s = _local_lanczos(matmat, rhs_l, k,
@@ -142,9 +194,11 @@ def build_sharded_profile_step(mesh, nu=0.5, lanczos_steps=16):
             e1 = jnp.zeros((k,), dtype=T_s.dtype).at[0].set(1.0)
 
             def per_eta(eta):
-                # solves y_j = (T_j + eta)^-1 ||b_j|| e1
-                y = jnp.linalg.solve(
-                    T_s + eta * eye_k,
+                # solves y_j = (T_j + eta)^-1 ||b_j|| e1 — T_j + eta I is
+                # SPD, so go through Cholesky (TPU has no f64 LU kernel)
+                L = jnp.linalg.cholesky(T_s + eta * eye_k)
+                y = jax.scipy.linalg.cho_solve(
+                    (L, True),
                     jnp.broadcast_to(e1, (s, k))[..., None])[..., 0]
                 y = y * nrm_s[:, None]
                 C = jnp.einsum("jkt,jk->tj", U, y)
@@ -153,7 +207,9 @@ def build_sharded_profile_step(mesh, nu=0.5, lanczos_steps=16):
                 B = 0.5 * (B + B.T)
                 Ytz = C[0, 1:]
                 zw = C[0, 0]
-                Binv = jnp.linalg.inv(B)
+                L_B = jnp.linalg.cholesky(B)
+                Binv = jax.scipy.linalg.cho_solve(
+                    (L_B, True), jnp.eye(m, dtype=B.dtype))
                 c = Binv @ Ytz
                 zMz = zw - Ytz @ c
                 zM2z = (S2[0, 0] - 2.0 * (S2[0, 1:] @ c)

@@ -61,6 +61,55 @@ def test_sharded_profile_step_matches_exact(mesh8):
         assert abs(float(der1[i]) - want_d1) / n < 0.05, (eta, der1[i], want_d1)
 
 
+def test_ring_matvec_matches_dense(mesh8):
+    """ring_matern_matmat == K @ V with V kept sharded the whole time."""
+    from jax.sharding import PartitionSpec as P
+
+    n = 8 * 16
+    rng = np.random.default_rng(3)
+    pts = rng.random((n, 2))
+    V = rng.standard_normal((n, 5))
+    K = np.asarray(assembly.dense_correlation(pts, 0.2, 1.5))
+    want = K @ V
+
+    n_blocks = int(mesh8.shape["block"])
+
+    def body(pts_l, scale, V_l):
+        return sharded.ring_matern_matmat(pts_l, scale, V_l, 1.5,
+                                          "block", n_blocks)
+
+    got = jax.shard_map(
+        body, mesh=mesh8,
+        in_specs=(P("block"), P(), P("block")),
+        out_specs=P("block"), check_vma=False,
+    )(jnp.asarray(pts), jnp.asarray([0.2, 0.2]), jnp.asarray(V))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                               atol=1e-8)
+
+
+def test_ring_and_allgather_schedules_agree(mesh8):
+    """The two matvec communication schedules compute the same step."""
+    pts = data_utils.generate_points(16, dimension=2)
+    z = data_utils.generate_data(pts, 0.2)
+    X = data_utils.generate_basis_functions(pts, 2)
+    n = pts.shape[0]
+    rng = np.random.default_rng(2)
+    p_per = int(mesh8.shape["probe"])
+    probes = rng.choice([-1.0, 1.0], size=(n, 8 * p_per))
+    etas = jnp.asarray([0.5, 5.0])
+
+    outs = []
+    for comm in ("ring", "allgather"):
+        step = sharded.build_sharded_profile_step(mesh8, nu=0.5,
+                                                  lanczos_steps=25,
+                                                  comm=comm)
+        der1, ti, ld = step(jnp.asarray(pts), jnp.asarray([0.1, 0.1]),
+                            jnp.asarray(X), jnp.asarray(z),
+                            jnp.asarray(probes), etas)
+        outs.append(np.asarray([der1, ti, ld]))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5)
+
+
 def test_sharded_step_device_count_invariance():
     """Same math on a 4-device and 8-device mesh."""
     pts = data_utils.generate_points(16, dimension=2)
