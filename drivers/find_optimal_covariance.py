@@ -160,7 +160,7 @@ def build_objective(pts, z, X, with_prior, spectral_on_host=None):
 
 def main(num_points=30, noise=0.05, with_prior=False, grid_rho=25,
          grid_nu=24, results_path=None, use_saved=False, verbose=True,
-         run_de=True, four_param=False):
+         run_de=True, four_param=False, plot=False):
     from gppe_tpu.utils import checkpoint
     from gppe_tpu.utils import config as cfg
     from gppe_tpu.utils import data as data_utils
@@ -246,8 +246,19 @@ def main(num_points=30, noise=0.05, with_prior=False, grid_rho=25,
                       f"sigma0={out['de4_sigma0']:.4f}")
         return out
 
-    return checkpoint.run_or_resume(results_path, compute,
-                                    use_saved=use_saved, verbose=verbose)
+    out = checkpoint.run_or_resume(results_path, compute,
+                                   use_saved=use_saved, verbose=verbose)
+    if plot:
+        # smoothed + upsampled contour of the (rho, nu) surface
+        # (reference FindOptimalCovarianceParameters.py:475-626)
+        from gppe_tpu.utils.plot import plot_contour_grid
+        tag = "with" if with_prior else "without"
+        plot_contour_grid(
+            out["rhos"], out["nus"], out["Lp"], r"$\rho$", r"$\nu$",
+            optimum=(out["optimal_rho"], out["optimal_nu"]),
+            filename=f"optimal_covariance_{tag}_prior",
+            title="log posterior" if with_prior else "log likelihood")
+    return out
 
 
 if __name__ == "__main__":
@@ -259,6 +270,8 @@ if __name__ == "__main__":
     p.add_argument("--four-param", action="store_true",
                    help="also run the direct 4-parameter optimization "
                         "over (rho, nu, sigma, sigma0)")
+    p.add_argument("--plot", action="store_true",
+                   help="save a smoothed contour of the (rho, nu) surface")
     a = p.parse_args()
     main(a.num_points, a.noise, a.with_prior, use_saved=a.use_saved,
-         four_param=a.four_param)
+         four_param=a.four_param, plot=a.plot)

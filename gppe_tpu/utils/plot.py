@@ -79,10 +79,58 @@ def plot_likelihood_surface(lp_fn, x_vals, y_vals, xlabel, ylabel,
     return Z
 
 
+def plot_contour_grid(x_vals, y_vals, Z, xlabel, ylabel, optimum=None,
+                      smooth_sigma=1.0, upsample=4,
+                      filename="parameter_contour", title=None):
+    """Filled contour of a (rho, nu)-style parameter grid with Gaussian
+    smoothing and cubic spline upsampling (reference
+    FindOptimalCovarianceParameters.py:475-626: gaussian_filter +
+    RectBivariateSpline refinement before contouring).
+
+    Z is (len(x_vals), len(y_vals)); returns the refined surface.
+    """
+    from scipy.interpolate import RectBivariateSpline
+    from scipy.ndimage import gaussian_filter
+
+    plt = _get_plt()
+    Z = np.asarray(Z, dtype=float)
+    Zs = gaussian_filter(Z, sigma=smooth_sigma) if smooth_sigma else Z
+    x = np.asarray(x_vals, dtype=float)
+    y = np.asarray(y_vals, dtype=float)
+    if upsample and upsample > 1 and len(x) > 3 and len(y) > 3:
+        spl = RectBivariateSpline(x, y, Zs, kx=3, ky=3)
+        x_f = np.linspace(x[0], x[-1], len(x) * upsample)
+        y_f = np.linspace(y[0], y[-1], len(y) * upsample)
+        Zf = spl(x_f, y_f)
+    else:
+        x_f, y_f, Zf = x, y, Zs
+
+    fig, ax = plt.subplots()
+    Xg, Yg = np.meshgrid(x_f, y_f, indexing="ij")
+    cs = ax.contourf(Xg, Yg, Zf, levels=30)
+    ax.contour(Xg, Yg, Zf, levels=10, colors="black", linewidths=0.4)
+    fig.colorbar(cs, ax=ax)
+    if optimum is not None:
+        ax.plot([optimum[0]], [optimum[1]], "o", color="red",
+                markersize=6, label="optimum")
+        ax.legend(frameon=False)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    if title:
+        ax.set_title(title)
+    if display.has_display():
+        plt.show()
+    else:
+        save_plot(plt, filename)
+    plt.close(fig)
+    return Zf
+
+
 def plot_log_likelihood_der1_eta(data, K, X, z, optimal_eta=None,
                                  filename="log_likelihood_first_derivative"):
-    """d lp/d eta vs eta with analytic bounds and large-eta asymptotes
-    (reference _profile_likelihood.py:548-732, without the inset)."""
+    """d lp/d eta vs eta with analytic bounds, large-eta asymptotes, and
+    a zoomed inset around the root (reference
+    _profile_likelihood.py:548-732)."""
     import jax.numpy as jnp
 
     from ..models import profile_likelihood as pl_mod
@@ -118,6 +166,24 @@ def plot_log_likelihood_der1_eta(data, K, X, z, optimal_eta=None,
     ax.set_ylabel(r"$d\ell/d\eta$")
     ax.grid(True)
     ax.legend(frameon=False, fontsize="small")
+
+    # zoomed inset around the root (reference's inset_axes block)
+    if optimal_eta is not None and np.isfinite(optimal_eta) \
+            and optimal_eta > 0:
+        try:
+            axins = ax.inset_axes([0.12, 0.12, 0.4, 0.3])
+            e_in = np.logspace(np.log10(optimal_eta) - 0.5,
+                               np.log10(optimal_eta) + 0.5, 60)
+            d_in = np.asarray(pl_mod.log_likelihood_der1_eta(
+                data, jnp.log10(jnp.asarray(e_in))))
+            axins.semilogx(e_in, d_in, color="black")
+            axins.axhline(0.0, lw=0.5, color="gray")
+            axins.plot([optimal_eta], [0.0], "o", color="black",
+                       markersize=3)
+            axins.tick_params(labelsize="x-small")
+            ax.indicate_inset_zoom(axins, edgecolor="gray")
+        except Exception:
+            pass  # inset is decoration; never fail the plot over it
     if display.has_display():
         plt.show()
     else:

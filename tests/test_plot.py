@@ -45,6 +45,25 @@ def test_plot_der1_eta(tmp_path, small_problem, monkeypatch):
     assert os.path.isfile("der1_test.svg")
 
 
+def test_plot_contour_grid(tmp_path, monkeypatch):
+    """Smoothed + cubic-upsampled contour (reference
+    FindOptimalCovarianceParameters.py:475-626)."""
+    monkeypatch.chdir(tmp_path)
+    x = np.linspace(0.1, 0.3, 8)
+    y = np.linspace(1.0, 25.0, 10)
+    Xg, Yg = np.meshgrid(x, y, indexing="ij")
+    Z = -((Xg - 0.2) ** 2 + ((Yg - 10.0) / 50.0) ** 2)
+    Zf = plot_utils.plot_contour_grid(x, y, Z, "rho", "nu",
+                                      optimum=(0.2, 10.0),
+                                      filename="contour_test")
+    assert os.path.isfile("contour_test.svg")
+    # upsampled surface is finer and preserves the maximum location
+    assert Zf.shape[0] >= 4 * len(x) and Zf.shape[1] >= 4 * len(y)
+    i, j = np.unravel_index(np.argmax(Zf), Zf.shape)
+    assert abs(np.linspace(x[0], x[-1], Zf.shape[0])[i] - 0.2) < 0.03
+    assert abs(np.linspace(y[0], y[-1], Zf.shape[1])[j] - 10.0) < 3.0
+
+
 def test_plot_likelihood_surface(tmp_path, small_problem, monkeypatch):
     monkeypatch.chdir(tmp_path)
     _, z, X, K = small_problem
