@@ -9,6 +9,13 @@ single *vectorized* Chandrupatla — one compiled program, one device.
 GCV noise estimates are computed alongside (config 4).
 """
 
+import os as _os
+import sys as _sys
+
+# allow running as `python drivers/<name>.py` from anywhere
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -11,6 +11,13 @@ and fits log-log scaling slopes (the reference's LogRegression
 :218-235).
 """
 
+import os as _os
+import sys as _sys
+
+# allow running as `python drivers/<name>.py` from anywhere
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -10,6 +10,13 @@ pure-JAX Bessel K_nu), and the global optimizer is the on-device
 differential evolution of gppe_tpu.ops.global_opt.
 """
 
+import os as _os
+import sys as _sys
+
+# allow running as `python drivers/<name>.py` from anywhere
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -7,6 +7,13 @@ wall-clock split into precompute and optimize phases (the reference's
 benchmark methodology, CompareVariousNumberOfPoints.py:241-280).
 """
 
+import os as _os
+import sys as _sys
+
+# allow running as `python drivers/<name>.py` from anywhere
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -3,6 +3,13 @@ examples/plot_log_likelihood_first_derivative.py:33-93): single dataset,
 estimate eta by the derivative method, plot d lp/d eta with bounds and
 asymptotes."""
 
+import os as _os
+import sys as _sys
+
+# allow running as `python drivers/<name>.py` from anywhere
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -2,6 +2,13 @@
 27-149): k(r; nu) for nu in {0.1, 0.5, 1, 3.2, 25, inf}, showing the
 convergence to the Gaussian kernel for large nu."""
 
+import os as _os
+import sys as _sys
+
+# allow running as `python drivers/<name>.py` from anywhere
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

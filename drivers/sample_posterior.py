@@ -1,6 +1,13 @@
 """Posterior sampling driver (BASELINE config 5): HMC or NUTS chains over
 (log10 eta, log10 rho), chain axis sharded over the device mesh."""
 
+import os as _os
+import sys as _sys
+
+# allow running as `python drivers/<name>.py` from anywhere
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -7,13 +7,21 @@ mesh (xla_force_host_platform_device_count); on a pod slice it uses the
 real devices — the code path is identical.
 """
 
+import os as _os
+import sys as _sys
+
+# allow running as `python drivers/<name>.py` from anywhere
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import argparse
 import time
 
 import numpy as np
 
 
-def measure(n_devices, n, lanczos_steps=24, reps=3, probes_per_dev=8):
+def measure(n_devices, n, lanczos_steps=24, reps=3, probes_per_dev=8,
+            comm="ring"):
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +41,8 @@ def measure(n_devices, n, lanczos_steps=24, reps=3, probes_per_dev=8):
     etas = jnp.asarray([0.1, 1.0, 10.0])
 
     step = sharded.build_sharded_profile_step(mesh, nu=0.5,
-                                              lanczos_steps=lanczos_steps)
+                                              lanczos_steps=lanczos_steps,
+                                              comm=comm)
     args = (jnp.asarray(pts), jnp.asarray([0.1, 0.1]), jnp.asarray(X),
             jnp.asarray(z), jnp.asarray(probes), etas)
     out = step(*args)
@@ -47,7 +56,7 @@ def measure(n_devices, n, lanczos_steps=24, reps=3, probes_per_dev=8):
     return (time.perf_counter() - t0) / reps
 
 
-def main(n=4096, device_counts=None, verbose=True):
+def main(n=4096, device_counts=None, verbose=True, comm="ring"):
     import jax
 
     nd_avail = len(jax.devices())
@@ -57,7 +66,7 @@ def main(n=4096, device_counts=None, verbose=True):
     results = {}
     t1 = None
     for nd in device_counts:
-        t = measure(nd, n)
+        t = measure(nd, n, comm=comm)
         eff = (t1 / (t * nd)) if t1 is not None else 1.0
         if t1 is None:
             t1 = t
@@ -71,5 +80,8 @@ def main(n=4096, device_counts=None, verbose=True):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=4096)
+    p.add_argument("--comm", choices=["ring", "allgather"],
+                   default="ring",
+                   help="matvec communication schedule")
     a = p.parse_args()
-    main(a.n)
+    main(a.n, comm=a.comm)
