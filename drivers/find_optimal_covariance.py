@@ -207,6 +207,13 @@ def main(num_points=30, noise=0.05, with_prior=False, grid_rho=25,
                 lp_rows.append(np.asarray(
                     lp_v(jnp.asarray(rho), jnp.asarray(nus))))
         Lp = np.stack(lp_rows)  # (grid_rho, grid_nu)
+        if with_prior:
+            # The surface and its argmax must be the log *posterior*, like
+            # the golden OptimalCovariance_WithPrior.pickle (reference
+            # :119-146): add the inverse-square log-priors (the grid lies
+            # inside the uniform supports, which contribute 0 there).
+            Lp = (Lp - 2.0 * np.log1p(rhos)[:, None]
+                  - 2.0 * np.log1p(nus / 25.0)[None, :])
         i, j = np.unravel_index(np.nanargmax(Lp), Lp.shape)
         out = {
             "rhos": rhos, "nus": nus, "Lp": Lp,
@@ -262,7 +269,10 @@ def main(num_points=30, noise=0.05, with_prior=False, grid_rho=25,
         tag = "with" if with_prior else "without"
         plot_contour_grid(
             out["rhos"], out["nus"], out["Lp"], r"$\rho$", r"$\nu$",
-            optimum=(out["optimal_rho"], out["optimal_nu"]),
+            # mark the DE optimum when available (it optimizes the same
+            # objective as the surface — log posterior when with_prior)
+            optimum=(out.get("de_rho", out["optimal_rho"]),
+                     out.get("de_nu", out["optimal_nu"])),
             filename=f"optimal_covariance_{tag}_prior",
             title="log posterior" if with_prior else "log likelihood")
     return out

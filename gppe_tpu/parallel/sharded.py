@@ -31,20 +31,26 @@ def _rect_matern_matmat(pts_rows, pts_cols, scale, V, nu):
     return jnp.matmul(Kblk, V, precision="highest")
 
 
-def ring_matern_matmat(pts_local, scale, V_local, nu, axis, n_blocks):
+def ring_matern_matmat(pts_local, pts_full, scale, V_local, nu, axis,
+                       n_blocks):
     """Ring-pipelined matvec with the Krylov vector kept SHARDED.
 
     The all-gather matvec materializes the full (n, r) vector on every
-    chip each Lanczos step. Here both the points and V stay row-sharded:
-    each of the ``n_blocks`` ring steps multiplies the local row-block of
-    the never-materialized Matern operator against the currently-held
-    column block and ``ppermute``s that block to the next neighbor, so
-    per-chip memory stays O(n/p) and XLA overlaps the ICI transfer of
-    step i+1 with the MXU matmul of step i (SURVEY.md §7 "hard parts":
-    overlapped block-matvec collectives, not naive gather-per-step).
+    chip each Lanczos step. Here V stays row-sharded: each of the
+    ``n_blocks`` ring steps multiplies the local row-block of the
+    never-materialized Matern operator against the currently-held column
+    block and ``ppermute``s that block to the next neighbor, so per-chip
+    memory stays O(n/p) and XLA overlaps the ICI transfer of step i+1
+    with the MXU matmul of step i (SURVEY.md §7 "hard parts": overlapped
+    block-matvec collectives, not naive gather-per-step). The column
+    *points* are NOT permuted: the points are replicated inputs already
+    (``pts_full``), so the matching column block at ring step s is a
+    local ``dynamic_slice`` at block index (my - s) mod n_blocks — only
+    the Krylov block rides the ICI.
 
     Must be called inside a shard_map with ``axis`` in scope.
-    pts_local: (n_l, d); V_local: (n_l, r). Returns (n_l, r).
+    pts_local: (n_l, d); pts_full: (n, d) replicated; V_local: (n_l, r).
+    Returns (n_l, r).
     """
     if n_blocks == 1:
         # degenerate ring: the self-permute [(0, 0)] breaks the TPU
@@ -52,17 +58,23 @@ def ring_matern_matmat(pts_local, scale, V_local, nu, axis, n_blocks):
         return _rect_matern_matmat(pts_local, pts_local, scale, V_local,
                                    nu)
     perm = [(j, (j + 1) % n_blocks) for j in range(n_blocks)]
+    n_l = V_local.shape[0]
+    d = pts_local.shape[1]
+    my = jax.lax.axis_index(axis)
 
-    def body(_, carry):
-        acc, pts_rot, V_rot = carry
-        blk = _rect_matern_matmat(pts_local, pts_rot, scale, V_rot, nu)
-        pts_rot = jax.lax.ppermute(pts_rot, axis, perm)
+    def body(step, carry):
+        acc, V_rot = carry
+        # block held at step s originated at chip (my - s) mod n_blocks
+        src = jnp.mod(my - step, n_blocks).astype(jnp.int32)
+        pts_cols = jax.lax.dynamic_slice(pts_full,
+                                         (src * n_l, jnp.int32(0)),
+                                         (n_l, d))
+        blk = _rect_matern_matmat(pts_local, pts_cols, scale, V_rot, nu)
         V_rot = jax.lax.ppermute(V_rot, axis, perm)
-        return acc + blk, pts_rot, V_rot
+        return acc + blk, V_rot
 
     acc = jnp.zeros_like(V_local)
-    acc, _, _ = jax.lax.fori_loop(0, n_blocks, body,
-                                  (acc, pts_local, V_local))
+    acc, _ = jax.lax.fori_loop(0, n_blocks, body, (acc, V_local))
     return acc
 
 
@@ -161,8 +173,8 @@ def build_sharded_profile_step(mesh, nu=0.5, lanczos_steps=16,
 
             if comm == "ring":
                 def matmat(V_l):
-                    return ring_matern_matmat(pts_l, scale_, V_l, nu,
-                                              BLOCK_AXIS, n_blocks)
+                    return ring_matern_matmat(pts_l, pts_f, scale_, V_l,
+                                              nu, BLOCK_AXIS, n_blocks)
             else:
                 def matmat(V_l):
                     V_f = jax.lax.all_gather(V_l, BLOCK_AXIS, axis=0,
@@ -207,6 +219,13 @@ def build_sharded_profile_step(mesh, nu=0.5, lanczos_steps=16,
                 B = 0.5 * (B + B.T)
                 Ytz = C[0, 1:]
                 zw = C[0, 0]
+                # B is a Krylov approximation — only symmetrized, not
+                # guaranteed PD at low lanczos_steps / tiny eta; a
+                # trace-relative jitter keeps the Cholesky from silently
+                # yielding NaN where an LU would have limped through.
+                jit_eps = 10.0 * jnp.finfo(B.dtype).eps
+                B = B + (jit_eps * jnp.trace(B) / m) * jnp.eye(
+                    m, dtype=B.dtype)
                 L_B = jnp.linalg.cholesky(B)
                 Binv = jax.scipy.linalg.cho_solve(
                     (L_B, True), jnp.eye(m, dtype=B.dtype))

@@ -3,8 +3,8 @@
 Covers the reference's plotting surface: matrix spy/matshow
 (generate_correlation.py:229-281), the 3-D likelihood surfaces
 (_direct_likelihood.py:411-450, _profile_likelihood.py:421-450), and the
-publication derivative plot with bounds, asymptotes and optimum marker
-(_profile_likelihood.py:548-732, simplified: no inset axes). All
+publication derivative plot with bounds, asymptotes, optimum marker and
+the zoomed inset around the root (_profile_likelihood.py:548-732). All
 functions degrade to saving SVG when no display is available
 (plot_utilities.py:104-143).
 """

@@ -74,15 +74,16 @@ def test_ring_matvec_matches_dense(mesh8):
 
     n_blocks = int(mesh8.shape["block"])
 
-    def body(pts_l, scale, V_l):
-        return sharded.ring_matern_matmat(pts_l, scale, V_l, 1.5,
+    def body(pts_l, pts_f, scale, V_l):
+        return sharded.ring_matern_matmat(pts_l, pts_f, scale, V_l, 1.5,
                                           "block", n_blocks)
 
     got = jax.shard_map(
         body, mesh=mesh8,
-        in_specs=(P("block"), P(), P("block")),
+        in_specs=(P("block"), P(), P(), P("block")),
         out_specs=P("block"), check_vma=False,
-    )(jnp.asarray(pts), jnp.asarray([0.2, 0.2]), jnp.asarray(V))
+    )(jnp.asarray(pts), jnp.asarray(pts), jnp.asarray([0.2, 0.2]),
+      jnp.asarray(V))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
                                atol=1e-8)
 
