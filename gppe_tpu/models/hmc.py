@@ -29,6 +29,21 @@ class HMCResult(NamedTuple):
     accept_rate: jnp.ndarray    # (chains,)
     step_size: jnp.ndarray      # (chains,)
     inv_mass: jnp.ndarray       # (chains, dim)
+    final_theta: jnp.ndarray    # (chains, dim) — raw (unconstrained) state
+    final_key: jnp.ndarray      # PRNG key after the last step
+
+    def state(self):
+        """Chain state for checkpoint/resume (see utils.checkpoint and
+        resume_hmc): continuing from this state reproduces the
+        uninterrupted chain exactly (adaptation is frozen after warmup,
+        so a num_warmup=0 restart with the adapted step size and mass
+        matrix is bit-identical to keeping the scan running)."""
+        return {
+            "theta": self.final_theta,
+            "key": self.final_key,
+            "step_size": self.step_size,
+            "inv_mass": self.inv_mass,
+        }
 
 
 def _leapfrog(grad_fn, theta, momentum, step_size, inv_mass, num_steps):
@@ -46,9 +61,15 @@ def _leapfrog(grad_fn, theta, momentum, step_size, inv_mass, num_steps):
                           "num_leapfrog"))
 def hmc_sample(log_prob_fn, init_theta, key, num_samples=1000,
                num_warmup=500, num_leapfrog=16, init_step_size=0.1,
-               target_accept=0.8):
+               target_accept=0.8, init_inv_mass=None):
     """Run HMC. ``init_theta``: (chains, dim); ``log_prob_fn`` maps (dim,)
-    -> scalar and is vmapped internally. Returns HMCResult."""
+    -> scalar and is vmapped internally. Returns HMCResult.
+
+    ``init_step_size`` may be a scalar or a per-chain (chains,) array;
+    ``init_inv_mass`` an optional (chains, dim) diagonal inverse-mass.
+    Passing a saved ``HMCResult.state()`` as (theta, key, step_size,
+    inv_mass) with ``num_warmup=0`` continues the chain exactly — see
+    :func:`resume_hmc`."""
     chains, dim = init_theta.shape
     dtype = init_theta.dtype
 
@@ -63,9 +84,14 @@ def hmc_sample(log_prob_fn, init_theta, key, num_samples=1000,
     lp0 = jax.vmap(_lp)(init_theta)
 
     # dual averaging state (per chain)
-    mu = jnp.log(10.0 * init_step_size) * jnp.ones(chains, dtype)
-    log_eps = jnp.log(init_step_size) * jnp.ones(chains, dtype)
-    log_eps_bar = jnp.zeros(chains, dtype)
+    iss = jnp.broadcast_to(jnp.asarray(init_step_size, dtype), (chains,))
+    mu = jnp.log(10.0 * iss)
+    log_eps = jnp.log(iss)
+    # log_eps_bar starts at log(init_step_size): during warmup the first
+    # dual-averaging step overwrites it fully (eta_1 = 1), and with
+    # num_warmup = 0 it IS the fixed post-warmup step size — the resume
+    # contract
+    log_eps_bar = jnp.log(iss)
     h_bar = jnp.zeros(chains, dtype)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
@@ -73,7 +99,11 @@ def hmc_sample(log_prob_fn, init_theta, key, num_samples=1000,
     w_mean = jnp.zeros((chains, dim), dtype)
     w_m2 = jnp.zeros((chains, dim), dtype)
 
-    inv_mass0 = jnp.ones((chains, dim), dtype)
+    if init_inv_mass is None:
+        inv_mass0 = jnp.ones((chains, dim), dtype)
+    else:
+        inv_mass0 = jnp.broadcast_to(
+            jnp.asarray(init_inv_mass, dtype), (chains, dim))
 
     total = num_warmup + num_samples
 
@@ -144,13 +174,29 @@ def hmc_sample(log_prob_fn, init_theta, key, num_samples=1000,
                      log_probs=lps[num_warmup:],
                      accept_rate=n_accept / num_samples,
                      step_size=jnp.exp(log_eps),
-                     inv_mass=inv_mass)
+                     inv_mass=inv_mass,
+                     final_theta=theta,
+                     final_key=key)
+
+
+def resume_hmc(log_prob_fn, state, num_samples, num_leapfrog=16):
+    """Continue a chain from a saved ``HMCResult.state()`` dict.
+
+    No warmup, adaptation frozen at the saved step size / inverse mass:
+    the continued samples are exactly those the uninterrupted run would
+    have produced (tested bit-identical on the f64 CPU path)."""
+    return hmc_sample(log_prob_fn, jnp.asarray(state["theta"]),
+                      jnp.asarray(state["key"]),
+                      num_samples=num_samples, num_warmup=0,
+                      num_leapfrog=num_leapfrog,
+                      init_step_size=jnp.asarray(state["step_size"]),
+                      init_inv_mass=jnp.asarray(state["inv_mass"]))
 
 
 def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
                      num_warmup=300, num_leapfrog=16, key=0,
                      init=None, log_prior=None, mesh=None,
-                     support_log10=None):
+                     support_log10=None, resume_state=None):
     """Sample the (log10 eta, log10 rho) posterior of a GP dataset.
 
     Chains are a batch axis; with ``mesh`` given, the chain axis is
@@ -161,6 +207,11 @@ def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
     sampling runs in unconstrained sigmoid-transformed coordinates (no
     hard prior boundary for the leapfrog to fall off) and the returned
     samples are mapped back to (log10 eta, log10 rho).
+
+    ``resume_state``: a saved ``HMCResult.state()`` dict (see
+    utils.checkpoint.save_hmc_state) — continues the chains exactly
+    where a previous run stopped (no warmup, adaptation frozen); the
+    other posterior arguments must match the original run.
     """
     from .kernel_posterior import (make_bounded_log_posterior,
                                    make_log_posterior)
@@ -172,6 +223,13 @@ def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
     else:
         log_post = make_log_posterior(points, z, X, nu=nu,
                                       log_prior=log_prior)
+
+    if resume_state is not None:
+        res = resume_hmc(log_post, resume_state, num_samples,
+                         num_leapfrog=num_leapfrog)
+        if u_to_theta is not None:
+            res = res._replace(samples=u_to_theta(res.samples))
+        return res
 
     rng = jax.random.PRNGKey(key)
     k_init, k_run = jax.random.split(rng)

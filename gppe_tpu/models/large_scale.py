@@ -27,25 +27,33 @@ import numpy as np
 from ..ops import root_finding, stochastic
 
 
-def _tridiag_solve_e1(alpha, beta, eta, rhs0):
-    """Solve (T + eta I) y = rhs0 * e1 for the tridiagonal T given by
-    diagonals alpha (k,), off-diagonals beta (k-1,). Thomas algorithm in
-    float64."""
+def _tridiag_solve(alpha, beta, eta, rhs):
+    """Solve (T + eta I) y = rhs for the tridiagonal T given by diagonals
+    alpha (k,), off-diagonals beta (k-1,). Thomas algorithm in float64;
+    ``rhs`` is a full (k,) vector."""
     k = alpha.shape[0]
     a = alpha + eta
     c_prime = np.empty(k - 1) if k > 1 else np.empty(0)
     d_prime = np.empty(k)
     denom = a[0]
-    d_prime[0] = rhs0 / denom
+    d_prime[0] = rhs[0] / denom
     for i in range(1, k):
         c_prime[i - 1] = beta[i - 1] / denom
         denom = a[i] - beta[i - 1] * c_prime[i - 1]
-        d_prime[i] = (0.0 - beta[i - 1] * d_prime[i - 1]) / denom
+        d_prime[i] = (rhs[i] - beta[i - 1] * d_prime[i - 1]) / denom
     y = np.empty(k)
     y[-1] = d_prime[-1]
     for i in range(k - 2, -1, -1):
         y[i] = d_prime[i] - c_prime[i] * y[i + 1]
     return y
+
+
+def _tridiag_solve_e1(alpha, beta, eta, rhs0):
+    """(T + eta I)^-1 (rhs0 * e1) — the Lanczos solve coefficient vector."""
+    k = alpha.shape[0]
+    rhs = np.zeros(k)
+    rhs[0] = rhs0
+    return _tridiag_solve(alpha, beta, eta, rhs)
 
 
 class KrylovProfileLikelihood:
@@ -99,6 +107,32 @@ class KrylovProfileLikelihood:
         self.G = np.asarray(G, dtype=np.float64).reshape(
             self.s, self.k, self.s, self.k).transpose(0, 2, 1, 3)
 
+    @classmethod
+    def from_factorization(cls, alphas, betas, U, G, rhs_norms, traces,
+                           n, m):
+        """Build the per-eta host engine from an externally computed
+        Krylov factorization (the grid-batched path, models.grid_krylov:
+        one batched Lanczos pass factorizes a whole (rho, nu) chunk; each
+        grid point then gets its own O(k^2)-per-eta engine).
+
+        ``alphas``/``betas``: (s, k)/(s, k-1) solve-block tridiagonals;
+        ``U``: (s, k, s) basis-RHS projections; ``G``: (s, s, k, k) basis
+        Grams; ``rhs_norms``: (s,); ``traces``: a StochasticTraceEngine
+        (e.g. from_tridiagonals).
+        """
+        self = cls.__new__(cls)
+        self.n = int(n)
+        self.m = int(m)
+        self.s = int(m) + 1
+        self.k = int(np.asarray(alphas).shape[1])
+        self.alphas = np.asarray(alphas, dtype=np.float64)
+        self.betas = np.asarray(betas, dtype=np.float64)
+        self.U = np.asarray(U, dtype=np.float64)
+        self.G = np.asarray(G, dtype=np.float64)
+        self.rhs_norms = np.asarray(rhs_norms, dtype=np.float64)
+        self.traces = traces
+        return self
+
     # -- per-eta small math ----------------------------------------------
 
     def _solve_coeffs(self, eta):
@@ -148,6 +182,55 @@ class KrylovProfileLikelihood:
         sigma2 = st["zMz"] / (self.n - self.m)
         return -0.5 * (st["trace_M"] - st["zM2z"] / sigma2)
 
+    def der2(self, eta):
+        """d^2 lp / d eta^2 at the profiled sigma (identity of reference
+        _profile_likelihood.py:138-192), from Krylov pieces.
+
+        Every ingredient reduces to cross-moments a_i^T Kn^-p a_j of the
+        augmented RHS block for p <= 3, expressible through the stored
+        basis Grams G and the tridiagonal solves:
+            y1_j = (T_j+eta)^-1 e1 ||a_j||,  y2_j = (T_j+eta)^-1 y1_j,
+            a_i^T Kn^-2 a_j ~ y1_i^T G_ij y1_j,
+            a_i^T Kn^-3 a_j ~ y1_i^T G_ij y2_j  (symmetrized),
+        plus trace(Kn^-1), trace(Kn^-2) from the probe quadrature. Used
+        for the eta->0 boundary sign analysis (reference :352-405)."""
+        eta = float(eta)
+        s, m, n = self.s, self.m, self.n
+        y1 = self._solve_coeffs(eta)
+        y2 = np.empty_like(y1)
+        for j in range(s):
+            y2[j] = _tridiag_solve(self.alphas[j], self.betas[j], eta,
+                                   y1[j])
+
+        # C[t, j] = a_t . Kn^-1 a_j;  S2 = Kn^-2 Grams;  S3 = Kn^-3 Grams
+        C = np.einsum("jkt,jk->tj", self.U, y1)
+        S2 = np.einsum("ia,ijab,jb->ij", y1, self.G, y1)
+        S3 = np.einsum("ia,ijab,jb->ij", y1, self.G, y2)
+        S3 = 0.5 * (S3 + S3.T)
+
+        B = 0.5 * (C[1:, 1:] + C[1:, 1:].T)
+        Binv = np.linalg.inv(B)
+        c = Binv @ C[0, 1:]
+        w = np.concatenate([[1.0], -c])          # Mz = sum_j w_j u_j
+
+        zMz = w @ C[:, 0]                        # z^T M z (Kn-scale)
+        A = Binv @ S2[1:, 1:]                    # B^-1 X^T Kn^-2 X
+        trace_Kninv = self.traces.traceinv(eta)
+        trace_Kn2inv = self.traces.traceinv(eta, exponent=2)
+        trace_M = trace_Kninv - np.trace(A)
+        trace_M2 = (trace_Kn2inv - 2.0 * np.trace(Binv @ S3[1:, 1:])
+                    + np.trace(A @ A))
+
+        # zM3z = Mz^T Kn^-1 Mz - (Y^T Mz)^T B^-1 (Y^T Mz)
+        MzKninvMz = w @ (S3 @ w)
+        YtMz = S2[1:, :] @ w
+        zM3z = MzKninvMz - YtMz @ (Binv @ YtMz)
+
+        sigma2 = zMz / (n - m)
+        return float((0.5 / sigma2) * ((trace_M2 / (n - m)
+                                        + (trace_M / (n - m)) ** 2) * zMz
+                                       - 2.0 * zM3z))
+
     def find_optimal_sigma(self, eta):
         st = self._eta_stats(eta)
         return float(np.sqrt(st["zMz"] / (self.n - self.m)))
@@ -175,15 +258,36 @@ class KrylovProfileLikelihood:
     def fit(self, interval_eta=(1e-4, 1e3), tol=1e-6, max_iterations=100,
             num_bracket_trials=3, verbose=False):
         """Root of d lp/d eta (reference find_log_likelihood_der1_zeros,
-        _profile_likelihood.py:244-415). Boundary fallback uses the der1
-        signs at the interval ends (the der2-at-zero refinement needs
-        exact solves; at this scale the bracket essentially always
-        exists)."""
+        _profile_likelihood.py:244-415), including the boundary-optimum
+        fallback from the sign of d^2 lp/d eta^2 at eta = 0 (:352-405)
+        when no bracket exists — low-noise data at large N picks the
+        correct boundary instead of defaulting to the der1 signs."""
+        import warnings
+
         lo = float(np.log10(interval_eta[0]))
         hi = float(np.log10(interval_eta[1]))
 
         found, bracket, fvals = root_finding.find_interval_with_sign_change(
             self.der1, [lo, hi], num_bracket_trials, verbose=verbose)
+        if not found:
+            # Dense-scan fallback: der1 -> 0^- asymptotically as eta ->
+            # inf, so at the interval's right end its tiny true value can
+            # sit below the noise floor of the f32 Krylov factorization
+            # and read the wrong sign — while the crossing itself is
+            # perfectly resolvable a decade earlier. Scan a log grid and
+            # bracket the first adjacent sign change (each eval is O(k^2)
+            # host math, so this costs microseconds).
+            grid = np.linspace(lo, hi, 29)
+            vals = np.array([self.der1(g) for g in grid])
+            sign_change = np.nonzero(np.sign(vals[:-1])
+                                     != np.sign(vals[1:]))[0]
+            if sign_change.size:
+                i = int(sign_change[0])
+                found = True
+                bracket = [float(grid[i]), float(grid[i + 1])]
+                fvals = [float(vals[i]), float(vals[i + 1])]
+                if verbose:
+                    print(f"dense-scan bracket: {bracket} -> {fvals}")
         if found:
             # host-side Chandrupatla on the f64 scalar function
             root, iters = _chandrupatla_scalar(
@@ -195,11 +299,21 @@ class KrylovProfileLikelihood:
                     "eta": float(eta), "success": True,
                     "iterations": int(iters)}
 
-        # no sign change: boundary optimum by derivative signs
-        if fvals[0] < 0 and fvals[1] < 0:
-            eta = 0.0
+        # no sign change: boundary optimum from the sign of the second
+        # derivative at eta = 0 (reference _profile_likelihood.py:352-405)
+        f_left, f_right = fvals
+        d2_zero = self.der2(0.0)
+        if f_left > 0 and f_right > 0:
+            eta = 0.0 if d2_zero > 0 else np.inf
+        elif f_left < 0 and f_right < 0:
+            eta = 0.0 if d2_zero < 0 else np.inf
         else:
-            eta = np.inf
+            warnings.warn(
+                "profile-likelihood derivative changes sign but no bracket "
+                "was found (mixed signs at the interval ends): degenerate "
+                "case, falling back to the eta = 0 boundary; widen "
+                "interval_eta or raise num_bracket_trials", stacklevel=2)
+            eta = 0.0
         if eta == 0.0:
             sigma = self.find_optimal_sigma(0.0)
             return {"sigma": sigma, "sigma0": 0.0, "eta": 0.0,

@@ -25,14 +25,35 @@ external native code:
   imate.AffineMatrixFunction).
 * ``interpolate=True``: rational interpolation of eta -> traceinv
   (imate.InterpolateTraceInv's role, mixed_correlation.py:52-66).
+
+``K`` may be a dense array, a scipy CSR/COO matrix (the reference accepts
+CSR throughout, mixed_correlation.py:44,69-73), or a matrix-free operator
+(MaternOperator / TaperedMaternOperator / SparseOperator). Sparse input is
+densified for the exact spectral/Cholesky backends when small enough
+(``dense_threshold``), else it is wrapped in a BCOO-backed operator and the
+method auto-switches to SLQ — the same dispatch role as the reference's
+imate AffineMatrixFunction on CSR.
+
+All scalar-returning methods (trace/traceinv/logdet) return jnp scalars
+regardless of backend (spectral or stochastic), so callers can jit over
+the results uniformly.
 """
 
+import warnings
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from ..ops import linalg
+
+
+def _is_scipy_sparse(K):
+    try:
+        import scipy.sparse
+        return scipy.sparse.issparse(K)
+    except ImportError:  # pragma: no cover
+        return False
 
 
 @partial(jax.jit, static_argnames=("exponent",))
@@ -66,16 +87,40 @@ class MixedCorrelation:
     """Operator view of K + eta*I with pluggable trace/solve backends."""
 
     def __init__(self, K, method="eigenvalue", interpolate=False,
-                 interpolant_points=None, options=None, dtype=None):
+                 interpolant_points=None, options=None, dtype=None,
+                 dense_threshold=4096):
         """``dtype`` controls the precision of the on-device factorizations
         (eigh/cholesky/matvecs). Default: float32 on TPU (f64 there is
         unusably slow emulation), x64 policy on CPU. The *inference
         scalars* built from this operator are separately promoted to
         float64 on the host — see direct_likelihood.make_spectral_data.
+
+        ``dense_threshold``: scipy-sparse K requested with an exact
+        backend (eigenvalue/cholesky) is densified up to this n (the
+        reference materializes Kn for its cholesky/solve paths too,
+        mixed_correlation.py:183-191,280-299); larger sparse input is
+        wrapped as a matrix-free BCOO operator and the method switches
+        to 'slq' with a warning.
         """
         from ..utils.config import compute_dtype
         self.dtype = dtype or compute_dtype()
-        if not hasattr(K, "matvec"):
+        self.is_sparse = _is_scipy_sparse(K)
+        if self.is_sparse:
+            n = K.shape[0]
+            if method in ("eigenvalue", "cholesky") and n <= dense_threshold:
+                K = jnp.asarray(K.toarray(), dtype=self.dtype)
+            else:
+                from ..ops.operators import SparseOperator
+                K = SparseOperator(K, dtype=self.dtype)
+                if method in ("eigenvalue", "cholesky"):
+                    warnings.warn(
+                        f"method={method!r} on a sparse K with n={n} > "
+                        f"dense_threshold={dense_threshold}: switching to "
+                        "'slq' (stochastic Lanczos quadrature) — the exact "
+                        "spectral backend would densify an n x n matrix",
+                        stacklevel=2)
+                    method = "slq"
+        elif not hasattr(K, "matvec"):
             K = jnp.asarray(K, dtype=self.dtype)
         self.K = K
         self.method = method
@@ -84,11 +129,18 @@ class MixedCorrelation:
         self._traceinv_interp = None
 
         if hasattr(K, "matvec"):
-            # Matrix-free operator: only stochastic methods apply.
+            # Matrix-free operator: only stochastic methods apply. The
+            # exact-backend defaults auto-switch (with a warning) so the
+            # public GaussianProcess/Likelihood facade — whose default is
+            # 'eigenvalue', like the reference's likelihood.py:41 — works
+            # transparently on operator input.
             if method in ("eigenvalue", "cholesky"):
-                raise ValueError(
-                    f"method={method!r} requires a materialized K; use "
-                    "'slq' or 'hutchinson' for matrix-free operators")
+                warnings.warn(
+                    f"method={method!r} requires a materialized K; "
+                    "switching to 'slq' for the matrix-free operator",
+                    stacklevel=2)
+                method = "slq"
+                self.method = method
             self.n = K.shape[0]
             self.eigenvalues = None
             self.eigenvectors = None
@@ -105,12 +157,11 @@ class MixedCorrelation:
                 self.eigenvalues = None
                 self.eigenvectors = None
 
-        if method in ("slq", "hutchinson"):
-            from ..ops import stochastic
-            self._stoch = stochastic.StochasticTraceEngine(
-                self.K, **self.options)
-        else:
-            self._stoch = None
+        # stochastic engine is built lazily on first trace/logdet use: its
+        # constructor runs deflation + probe Lanczos passes, which callers
+        # that only need solves (or the Krylov likelihood engine, which
+        # factors once itself) should not pay for
+        self._stoch = None
 
         if interpolate:
             from ..ops import interpolate as interp_mod
@@ -124,6 +175,13 @@ class MixedCorrelation:
 
     def get_matrix_size(self):
         return self.n
+
+    def _get_stoch(self):
+        if self._stoch is None and self.method in ("slq", "hutchinson"):
+            from ..ops import stochastic
+            self._stoch = stochastic.StochasticTraceEngine(
+                self.K, **self.options)
+        return self._stoch
 
     @property
     def shape(self):
@@ -157,8 +215,12 @@ class MixedCorrelation:
                     + eta ** 2 * self.n)
         if self.eigenvalues is not None:
             return _spectral_sum_pow(self.eigenvalues, eta, exponent)
-        if self._stoch is not None:
-            return self._stoch.trace_pow(eta, exponent)
+        stoch = self._get_stoch()
+        if stoch is not None:
+            # unify return types: stochastic backends compute on the host
+            # (f64 quadrature sums) — wrap back to a jnp scalar so every
+            # method of this class returns the same kind of value
+            return jnp.asarray(stoch.trace_pow(eta, exponent))
         raise ValueError("trace with exponent>2 needs eigenvalue or "
                          "stochastic method")
 
@@ -186,8 +248,9 @@ class MixedCorrelation:
         if self.method == "cholesky":
             L = self._factor(eta)
             return linalg.cholesky_traceinv(L, exponent)
-        if self._stoch is not None:
-            return self._stoch.traceinv(eta, exponent)
+        stoch = self._get_stoch()
+        if stoch is not None:
+            return jnp.asarray(stoch.traceinv(eta, exponent))
         raise ValueError(f"no traceinv backend for method={self.method!r}")
 
     def logdet(self, eta, exponent=1):
@@ -195,13 +258,16 @@ class MixedCorrelation:
         eta = jnp.asarray(eta)
         if self.eigenvalues is not None:
             return exponent * _spectral_logdet(self.eigenvalues, eta)
-        if self.method in ("cholesky", "hutchinson"):
+        if (self.method in ("cholesky", "hutchinson")
+                and not hasattr(self.K, "matvec")):
             # hutchinson has no logdet; reference also falls back to
-            # cholesky there (mixed_correlation.py:250-261).
+            # cholesky there (mixed_correlation.py:250-261). Matrix-free
+            # K cannot be factorized — fall through to SLQ below.
             L = self._factor(eta)
             return exponent * linalg.cholesky_logdet(L)
-        if self._stoch is not None:
-            return exponent * self._stoch.logdet(eta)
+        stoch = self._get_stoch()
+        if stoch is not None:
+            return exponent * jnp.asarray(stoch.logdet(eta))
         raise ValueError(f"no logdet backend for method={self.method!r}")
 
     # -- solve / dot ------------------------------------------------------

@@ -201,7 +201,18 @@ def find_log_likelihood_der1_zeros(data, interval_eta, tol=1e-6,
     elif f_left < 0 and f_right < 0:
         eta = 0.0 if d2_zero < 0 else np.inf
     else:
-        eta = 0.0   # mixed signs with no bracket found: degenerate; eta=0
+        # mixed signs but the bracket search failed anyway: degenerate
+        # (the reference reasons about this case through der2 too and
+        # warns, _profile_likelihood.py:383-405) — say so, don't silently
+        # pick a boundary
+        import warnings
+        warnings.warn(
+            "profile-likelihood derivative has mixed signs at the "
+            "interval ends but no sign-change bracket was found: "
+            "degenerate case, falling back to the eta = 0 boundary; "
+            "widen interval_eta or raise num_bracket_trials",
+            stacklevel=2)
+        eta = 0.0
     if eta == 0.0:
         sigma = float(find_optimal_sigma(data, 0.0))
         result = {"sigma": sigma, "sigma0": 0.0, "eta": 0.0, "success": True}

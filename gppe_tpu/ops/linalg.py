@@ -114,6 +114,99 @@ def cg_solve(A, B, tol=1e-6, max_iter=1000, M_diag=None, shift=0.0):
     return _cg_solve_dense(jnp.asarray(A), B, shift, tol, max_iter, M_diag)
 
 
+@partial(jax.jit, static_argnames=("A", "max_iter"))
+def _minres_callable(A, B, shift, tol, max_iter):
+    return _minres_body(lambda V: A(V) + shift * V, B, tol, max_iter)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _minres_dense(A, B, shift, tol, max_iter):
+    mv = lambda V: jnp.matmul(A, V, precision="highest") + shift * V  # noqa: E731
+    return _minres_body(mv, B, tol, max_iter)
+
+
+def minres_solve(A, B, tol=1e-6, max_iter=1000, shift=0.0):
+    """Batched MINRES for symmetric (possibly INDEFINITE) ``A + shift I``.
+
+    The role of the reference's symmetric-indefinite fallback
+    (_linear_solver.py:61-63, scipy minres). Needed only off the SPD hot
+    path: hard-tapered correlation matrices can lose positive
+    definiteness (reference warns at
+    _generate_sparse_correlation.pyx:481-489), making K + eta*I
+    indefinite for eta < |lambda_min|. Same calling convention as
+    :func:`cg_solve`; per-column convergence on the MINRES residual-norm
+    recurrence.
+    """
+    B = jnp.asarray(B)
+    shift = jnp.asarray(shift, dtype=B.dtype)
+    tol = jnp.asarray(tol, dtype=B.dtype)
+    if callable(A):
+        return _minres_callable(A, B, shift, tol, max_iter)
+    return _minres_dense(jnp.asarray(A), B, shift, tol, max_iter)
+
+
+def _minres_body(matvec, B, tol, max_iter):
+    """Lanczos + on-the-fly Givens QR (Paige–Saunders), vectorized over
+    RHS columns; all rotation scalars are (r,) lanes."""
+    b_was_vector = B.ndim == 1
+    if b_was_vector:
+        B = B[:, None]
+    n, r = B.shape
+    dtype = B.dtype
+
+    beta1 = jnp.linalg.norm(B, axis=0)
+    beta_safe = jnp.where(beta1 > 0, beta1, 1.0)
+    v = B / beta_safe
+    zeros_nr = jnp.zeros_like(B)
+    ones_r = jnp.ones(r, dtype=dtype)
+    zeros_r = jnp.zeros(r, dtype=dtype)
+
+    # state: x, v (current Lanczos vec), v_prev, beta (current), w0, w_m1,
+    # gamma0/1, sigma0/1, eta (residual coeff), it
+    state0 = (zeros_nr, v, zeros_nr, zeros_r, zeros_nr, zeros_nr,
+              ones_r, ones_r, zeros_r, zeros_r, beta1,
+              jnp.asarray(0))
+    tol_abs = tol * jnp.maximum(beta1, 1e-300)
+
+    def cond(state):
+        *_, eta, it = state
+        return jnp.logical_and(it < max_iter,
+                               jnp.any(jnp.abs(eta) > tol_abs))
+
+    def body(state):
+        (x, v, v_prev, beta, w0, w_m1, gamma0, gamma1, sigma0, sigma1,
+         eta, it) = state
+        active = jnp.abs(eta) > tol_abs
+
+        d = matvec(v)
+        alpha = jnp.sum(v * d, axis=0)
+        d = d - alpha[None, :] * v - beta[None, :] * v_prev
+        beta_next = jnp.linalg.norm(d, axis=0)
+        v_next = d / jnp.where(beta_next > 0, beta_next, 1.0)
+
+        a0 = gamma1 * alpha - gamma0 * sigma1 * beta
+        a1 = jnp.sqrt(a0 * a0 + beta_next * beta_next)
+        a2 = sigma1 * alpha + gamma0 * gamma1 * beta
+        a3 = sigma0 * beta
+        a1_safe = jnp.where(a1 > 0, a1, 1.0)
+        gamma0_n, gamma1_n = gamma1, a0 / a1_safe
+        sigma0_n, sigma1_n = sigma1, beta_next / a1_safe
+
+        w_new = (v - a3[None, :] * w_m1 - a2[None, :] * w0) / a1_safe
+        x_new = x + (gamma1_n * eta)[None, :] * w_new
+        eta_new = -sigma1_n * eta
+
+        # freeze converged lanes
+        x = jnp.where(active[None, :], x_new, x)
+        eta = jnp.where(active, eta_new, eta)
+        return (x, v_next, v, beta_next, w_new, w0,
+                gamma0_n, gamma1_n, sigma0_n, sigma1_n, eta, it + 1)
+
+    out = jax.lax.while_loop(cond, body, state0)
+    X = out[0]
+    return X[:, 0] if b_was_vector else X
+
+
 def _cg_body(matvec, B, tol, max_iter, M_diag):
 
     b_was_vector = B.ndim == 1

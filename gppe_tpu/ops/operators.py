@@ -128,3 +128,98 @@ class MaternOperator:
         from . import assembly
         return assembly.dense_correlation(self.points, self.scale, self.nu,
                                           dtype=self.dtype)
+
+
+@partial(jax.jit, static_argnames=())
+def _ell_matmat(vals, idx, V):
+    """Padded-ELL sparse matmat: out[i] = sum_j vals[i, j] * V[idx[i, j]].
+
+    A lax.scan over the (padded) per-row neighbor slots; each step is one
+    row-gather of V plus an elementwise FMA — full-f32 VPU work with O(n r)
+    live memory, no sparse lowering. (jax.experimental.sparse BCOO compiles
+    to pathological gather/scatter programs on TPU; this form is the
+    TPU-shaped sparse matvec.)
+    """
+    def body(out, slot):
+        v_j, i_j = slot
+        return out + v_j[:, None] * V[i_j, :], None
+
+    out0 = jnp.zeros((vals.shape[0], V.shape[1]), dtype=V.dtype)
+    out, _ = jax.lax.scan(body, out0, (vals.T, idx.T))
+    return out
+
+
+class SparseOperator:
+    """Device operator view of a scipy CSR/COO matrix.
+
+    The reference flows scipy CSR through its whole operator layer
+    (reference: gaussian_proc/_mixed_correlation/mixed_correlation.py:44
+    AffineMatrixFunction on CSR, _linear_solver.py:49-60 sparse CG). Here
+    the host CSR is repacked into padded ELL (per-row neighbor slots) and
+    the matvec runs as a scan of row-gathers + FMAs — the layout TPU
+    actually executes well (BCOO's gather/scatter lowering does not). This
+    is the *parity* path for user-supplied sparse matrices; the scalable
+    TPU-native form of a tapered kernel is
+    :class:`gppe_tpu.ops.taper.TaperedMaternOperator` (block-sparse tiles,
+    K never materialized).
+    """
+
+    def __init__(self, K_sparse, dtype=None):
+        import numpy as np
+        import scipy.sparse
+
+        dtype = dtype or compute_dtype()
+        K_csr = scipy.sparse.csr_matrix(K_sparse).astype(
+            jnp.dtype(dtype).name)
+        self._host_csr = K_csr
+        self.dtype = dtype
+        self._n = K_csr.shape[0]
+        self.nnz = int(K_csr.nnz)
+
+        # CSR -> padded ELL (row-major neighbor slots); pad entries point
+        # at row 0 with value 0
+        counts = np.diff(K_csr.indptr)
+        k_max = int(counts.max()) if self._n else 0
+        idx = np.zeros((self._n, max(k_max, 1)), dtype=np.int32)
+        vals = np.zeros((self._n, max(k_max, 1)),
+                        dtype=jnp.dtype(dtype).name)
+        rows = np.repeat(np.arange(self._n), counts)
+        slots = np.arange(self.nnz) - np.repeat(K_csr.indptr[:-1], counts)
+        idx[rows, slots] = K_csr.indices
+        vals[rows, slots] = K_csr.data
+        self._ell_idx = jnp.asarray(idx)
+        self._ell_vals = jnp.asarray(vals)
+
+    @property
+    def shape(self):
+        return (self._n, self._n)
+
+    def matmat(self, V):
+        V = jnp.asarray(V, dtype=self.dtype)
+        squeeze = V.ndim == 1
+        if squeeze:
+            V = V[:, None]
+        out = _ell_matmat(self._ell_vals, self._ell_idx, V)
+        return out[:, 0] if squeeze else out
+
+    def matvec(self, v):
+        return self.matmat(v)
+
+    def trace_pow(self, exponent):
+        """Exact trace(K^p), p in {0, 1, 2}, from the host CSR data.
+
+        p=2 uses symmetry: trace(K^2) = sum_ij K_ij K_ji = ||K||_F^2."""
+        import numpy as np
+        if exponent == 0:
+            return jnp.asarray(float(self._n), dtype=self.dtype)
+        if exponent == 1:
+            return jnp.asarray(float(self._host_csr.diagonal().sum()),
+                               dtype=self.dtype)
+        if exponent == 2:
+            return jnp.asarray(float(np.sum(self._host_csr.data ** 2)),
+                               dtype=self.dtype)
+        raise ValueError("exponent must be 0, 1 or 2")
+
+    def dense(self):
+        """Materialize (small-n exact paths / debugging)."""
+        return jnp.asarray(self._host_csr.toarray(), dtype=self.dtype)

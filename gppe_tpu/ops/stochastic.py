@@ -229,6 +229,33 @@ class StochasticTraceEngine:
         self.theta = np.maximum(theta, 0.0)
         self.tau = tau
 
+    @classmethod
+    def from_tridiagonals(cls, alphas, betas, probe_norm2, n,
+                          trace_K2=None):
+        """Minimal quadrature engine from externally computed probe
+        tridiagonals — no deflation pass, no operator reference. Used by
+        the grid-batched Krylov path (models.grid_krylov), where one
+        batched Lanczos pass factorizes MANY kernels at once and each
+        grid point gets its own lightweight engine. Assumes unit-diagonal
+        K (trace(K) = n), as all correlation operators here have."""
+        self = cls.__new__(cls)
+        self.matvec = None
+        self.n = int(n)
+        self.num_probes = int(np.asarray(alphas).shape[0])
+        self.lanczos_steps = int(np.asarray(alphas).shape[1])
+        self.q = 0
+        self.lam_top = np.zeros(0)
+        self.W = None
+        self.M0 = float(n)
+        self.M1 = float(n)
+        self.M2 = None if trace_K2 is None else float(trace_K2)
+        self.probes = None
+        self.probe_norm2 = np.asarray(probe_norm2, dtype=np.float64)
+        self._reorthogonalize = True
+        self._dt = inference_dtype()
+        self.finalize(alphas, betas)
+        return self
+
     def _quad(self, f, eta):
         """trace f(K + eta I): exact deflated part + regression-adjusted
         stochastic remainder.

@@ -48,12 +48,18 @@ def make_mesh(n_devices=None, probe=None, devices=None):
 
 
 def multihost_init(coordinator_address=None, num_processes=None,
-                   process_id=None):
+                   process_id=None, auto=False):
     """Initialize the JAX distributed runtime (multi-host pod slices).
 
-    The replacement for the reference's mpirun/PBS layer; call once per
-    host before any jax op. No-op when running single-process.
+    The replacement for the reference's mpirun/PBS layer
+    (jobfile.pbs:34-63); call once per host before any jax op. No-op when
+    running single-process. ``auto=True`` delegates peer discovery to
+    jax.distributed.initialize()'s Cloud-TPU metadata auto-detection —
+    the mode drivers/launch_pod.sh runs every worker in.
     """
+    if auto:
+        jax.distributed.initialize()
+        return
     if num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,

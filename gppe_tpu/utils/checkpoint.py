@@ -43,16 +43,17 @@ def run_or_resume(path, compute_fn, use_saved=True, verbose=False):
 
 
 def save_hmc_state(result, path, verbose=False):
-    """Persist HMC chain state (samples tail + step size + mass) so a
-    follow-up run can continue sampling."""
-    state = {
-        "last_theta": np.asarray(result.samples[-1]),
-        "step_size": np.asarray(result.step_size),
-        "inv_mass": np.asarray(result.inv_mass),
-        "accept_rate": np.asarray(result.accept_rate),
-    }
+    """Persist the full HMC chain state — (theta, PRNG key, step size,
+    inverse mass) — so a follow-up run continues sampling EXACTLY where
+    this one stopped (models.hmc.resume_hmc / sample_posterior's
+    ``resume_state``)."""
+    state = {k: np.asarray(v) for k, v in result.state().items()}
+    state["accept_rate"] = np.asarray(result.accept_rate)
     save_results(state, path, verbose=verbose)
 
 
 def load_hmc_state(path):
+    """Load a state saved by :func:`save_hmc_state`; pass it as
+    ``resume_state`` to models.hmc.sample_posterior (or to
+    models.hmc.resume_hmc with the same log-prob closure)."""
     return load_results(path)

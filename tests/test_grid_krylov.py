@@ -1,0 +1,77 @@
+"""Grid-batched Krylov profile likelihood vs exact per-point optima
+(VERDICT r1 item 2: one vmapped Lanczos pass factorizes a (rho, nu) chunk;
+the reference runs a fresh O(n^3) precompute per grid point,
+examples/FindOptimalCovarianceParameters.py:632-702)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gppe_tpu.models import direct_likelihood as dl
+from gppe_tpu.models import profile_likelihood as pl_mod
+from gppe_tpu.models.grid_krylov import GridKrylovProfileLikelihood
+from gppe_tpu.models.mixed_correlation import MixedCorrelation
+from gppe_tpu.ops import assembly
+from gppe_tpu.utils import data as data_utils
+
+
+@pytest.fixture(scope="module")
+def grid_fit():
+    pts = data_utils.generate_points(20, dimension=2)   # n = 400
+    z = data_utils.generate_data(pts, 0.05)
+    X = data_utils.generate_basis_functions(pts, 2)
+    rhos = np.array([0.1, 0.15, 0.2])
+    nus = np.array([1.0, 2.0, 5.0])
+    R, N = np.meshgrid(rhos, nus, indexing="ij")
+    grid = GridKrylovProfileLikelihood(pts, X, z, R.ravel(), N.ravel(),
+                                       lanczos_steps=50, num_probes=32)
+    return pts, z, X, grid.fit_all()
+
+
+def test_grid_matches_exact_per_point(grid_fit):
+    pts, z, X, results = grid_fit
+    assert len(results) == 9
+    for r in [results[0], results[4], results[8]]:
+        K = np.asarray(assembly.dense_correlation(pts, r["rho"], r["nu"]))
+        data = dl.make_spectral_data(MixedCorrelation(jnp.asarray(K)), X, z)
+        exact = pl_mod.find_log_likelihood_der1_zeros(data, [1e-4, 1e3])
+        assert r["success"]
+        assert r["eta"] == pytest.approx(exact["eta"], rel=5e-2)
+        assert r["sigma0"] == pytest.approx(exact["sigma0"], rel=5e-3)
+
+
+def test_grid_lp_surface_ranks_like_exact(grid_fit):
+    """The profile-lp surface must rank grid points like the exact one
+    (the argmax drives the MAP search)."""
+    pts, z, X, results = grid_fit
+    lps = []
+    for r in results:
+        K = np.asarray(assembly.dense_correlation(pts, r["rho"], r["nu"]))
+        data = dl.make_spectral_data(MixedCorrelation(jnp.asarray(K)), X, z)
+        eta = r["eta"]
+        sigma = float(pl_mod.find_optimal_sigma(data, eta))
+        lps.append(float(pl_mod.log_likelihood(data, sigma, eta)))
+    got = np.array([r["lp"] for r in results])
+    assert np.argmax(got) == np.argmax(lps)
+    # values agree to ~1-nat accuracy (logdet is CV-regularized SLQ with
+    # 32 probes; the ranking above is the load-bearing property)
+    np.testing.assert_allclose(got, lps, atol=1.5)
+
+
+def test_grid_chunking_consistent():
+    """Chunked execution (chunk=2) gives the same engines as one chunk."""
+    pts = data_utils.generate_points(10, dimension=2)   # n = 100
+    z = data_utils.generate_data(pts, 0.1)
+    X = data_utils.generate_basis_functions(pts, 1)
+    rhos = np.array([0.1, 0.2, 0.1, 0.2, 0.15])
+    nus = np.array([0.5, 0.5, 1.5, 1.5, 2.5])
+    g1 = GridKrylovProfileLikelihood(pts, X, z, rhos, nus,
+                                     lanczos_steps=30, num_probes=8)
+    g2 = GridKrylovProfileLikelihood(pts, X, z, rhos, nus,
+                                     lanczos_steps=30, num_probes=8,
+                                     chunk=2)
+    r1 = g1.fit_all()
+    r2 = g2.fit_all()
+    for a, b in zip(r1, r2):
+        assert a["eta"] == pytest.approx(b["eta"], rel=1e-8)

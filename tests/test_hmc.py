@@ -114,3 +114,51 @@ def test_priors():
     np.testing.assert_allclose(
         float(priors.inverse_square_log_prior(1.0, scale=1.0)),
         np.log(1.0 / 4.0))
+
+
+def test_hmc_resume_reproduces_uninterrupted_chain(tmp_path):
+    """VERDICT r1 item 7: checkpoint (theta, key, step_size, inv_mass) and
+    resume. Adaptation freezes after warmup, so the resumed chain must be
+    BIT-IDENTICAL to the uninterrupted one on the f64 CPU path."""
+    from gppe_tpu.utils import checkpoint
+
+    def log_prob(theta):
+        return -0.5 * jnp.sum(theta ** 2) - 0.1 * theta[0] * theta[1]
+
+    chains, dim = 4, 2
+    init = jax.random.normal(jax.random.PRNGKey(1), (chains, dim))
+    key = jax.random.PRNGKey(7)
+
+    full = hmc.hmc_sample(log_prob, init, key, num_samples=40,
+                          num_warmup=30, num_leapfrog=8)
+    part = hmc.hmc_sample(log_prob, init, key, num_samples=20,
+                          num_warmup=30, num_leapfrog=8)
+    # round-trip the state through the pickle checkpoint
+    path = str(tmp_path / "hmc_state.pickle")
+    checkpoint.save_hmc_state(part, path)
+    state = checkpoint.load_hmc_state(path)
+    cont = hmc.resume_hmc(log_prob, state, num_samples=20, num_leapfrog=8)
+
+    np.testing.assert_array_equal(np.asarray(part.samples),
+                                  np.asarray(full.samples[:20]))
+    np.testing.assert_array_equal(np.asarray(cont.samples),
+                                  np.asarray(full.samples[20:]))
+    np.testing.assert_array_equal(np.asarray(cont.final_theta),
+                                  np.asarray(full.final_theta))
+
+
+def test_sample_posterior_resume_state(gp_problem):
+    """resume_state through the public sample_posterior surface (bounded
+    support path): continued samples equal the uninterrupted tail."""
+    pts, z, X = gp_problem
+    box = ((-2.0, 3.0), (-2.0, 0.0))
+    kw = dict(nu=0.5, num_chains=2, num_leapfrog=4, key=3,
+              support_log10=box)
+    full = hmc.sample_posterior(pts, z, X, num_samples=12, num_warmup=10,
+                                **kw)
+    part = hmc.sample_posterior(pts, z, X, num_samples=6, num_warmup=10,
+                                **kw)
+    cont = hmc.sample_posterior(pts, z, X, num_samples=6,
+                                resume_state=part.state(), **kw)
+    np.testing.assert_allclose(np.asarray(cont.samples),
+                               np.asarray(full.samples[6:]), atol=1e-12)
