@@ -12,7 +12,18 @@ Layout: points are pre-scaled by 1/scale and stored transposed (d_pad, n)
 with d padded to the sublane width 8, so tiles are (8, TN) — native TPU
 tiling. The pairwise distance uses the exact difference form per
 dimension (d <= 8, cancellation-free), the Matern branch is selected
-statically from nu, and the tile-dot runs in f32 on the MXU.
+statically from nu, and the tile-dot precision is selectable (measured at
+n = 100k, tile 1024, v5e — see ``DOT_MODES``):
+
+  dot_mode='highest'  f32 (6-pass bf16 on the MXU)   96 ms/matvec  exact
+  dot_mode='bf16x3'   3-dot compensated bf16 split   72 ms/matvec  4e-6 rel
+  dot_mode='bf16'     1-pass bf16, f32 accumulate    41 ms/matvec  2e-3 rel
+
+'bf16x3' splits both operands into bf16 high + residual parts and drops
+only the lo*lo term — the classical compensated-product scheme, f32-level
+accuracy at half the HIGHEST cost. It is the default: every consumer
+(Lanczos with full reorth, CG, power iteration) is iterative and the
+4e-6 matvec perturbation is far below the f32 arithmetic it feeds.
 """
 
 import functools
@@ -23,6 +34,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _SUBLANE = 8
+
+DOT_MODES = ("highest", "bf16x3", "bf16")
+
+
+def _tile_dot(k_tile, v, dot_mode: str):
+    """k_tile @ v on the MXU at the requested precision (see module
+    docstring for the measured speed/accuracy of each mode)."""
+    if dot_mode == "highest":
+        return jnp.dot(k_tile, v, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if dot_mode == "bf16":
+        return jnp.dot(k_tile, v, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+    if dot_mode == "bf16x3":
+        k_hi = k_tile.astype(jnp.bfloat16)
+        k_lo = (k_tile - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        v_hi = v.astype(jnp.bfloat16)
+        v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.dot(k_hi, v_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(k_lo, v_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(k_hi, v_lo, preferred_element_type=jnp.float32))
+    raise ValueError(f"dot_mode must be one of {DOT_MODES}; got {dot_mode}")
 
 
 def _matern_tile(d2, nu: float):
@@ -44,7 +77,7 @@ def _matern_tile(d2, nu: float):
         f"got {nu} (general nu uses the blocked XLA path)")
 
 
-def _matmat_kernel(pr_ref, pc_ref, v_ref, out_ref, *, nu, d):
+def _matmat_kernel(pr_ref, pc_ref, v_ref, out_ref, *, nu, d, dot_mode):
     j = pl.program_id(1)
 
     pr = pr_ref[:]            # (TM, 8) scaled row points
@@ -56,8 +89,7 @@ def _matmat_kernel(pr_ref, pc_ref, v_ref, out_ref, *, nu, d):
         d2 = d2 + diff * diff
     k_tile = _matern_tile(d2, nu)
 
-    acc = jnp.dot(k_tile, v_ref[:], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
+    acc = _tile_dot(k_tile, v_ref[:], dot_mode)
 
     first = j == jnp.int32(0)
 
@@ -70,15 +102,17 @@ def _matmat_kernel(pr_ref, pc_ref, v_ref, out_ref, *, nu, d):
         out_ref[:] = out_ref[:] + acc
 
 
-@functools.partial(jax.jit, static_argnames=("nu", "d", "tile_m", "tile_n"))
-def _matern_matmat_padded(pts_rows, pts_cols_t, V, nu, d, tile_m, tile_n):
+@functools.partial(jax.jit, static_argnames=("nu", "d", "tile_m", "tile_n",
+                                              "dot_mode"))
+def _matern_matmat_padded(pts_rows, pts_cols_t, V, nu, d, tile_m, tile_n,
+                          dot_mode):
     """pts_rows: (nr_pad, 8); pts_cols_t: (8, nc_pad); V: (nc_pad, r_pad)."""
     n_pad = pts_rows.shape[0]
     nc_pad = pts_cols_t.shape[1]
     r_pad = V.shape[1]
     grid = (n_pad // tile_m, nc_pad // tile_n)
 
-    kernel = functools.partial(_matmat_kernel, nu=nu, d=d)
+    kernel = functools.partial(_matmat_kernel, nu=nu, d=d, dot_mode=dot_mode)
 
     flops = 2 * n_pad * n_pad * (r_pad + d + 4)
     return pl.pallas_call(
@@ -98,11 +132,13 @@ def _matern_matmat_padded(pts_rows, pts_cols_t, V, nu, d, tile_m, tile_n):
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=4 * (n_pad + nc_pad) * (r_pad + 8),
             transcendentals=n_pad * nc_pad),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
     )(pts_rows, pts_cols_t, V)
 
 
-def matern_matmat(points, scale, V, nu, tile_m=512, tile_n=512,
-                  points_cols=None):
+def matern_matmat(points, scale, V, nu, tile_m=1024, tile_n=1024,
+                  points_cols=None, dot_mode="bf16x3"):
     """K @ V with K the Matern correlation — fused, K never materialized.
 
     ``points`` are the row points (nr, d); ``points_cols`` defaults to the
@@ -116,7 +152,7 @@ def matern_matmat(points, scale, V, nu, tile_m=512, tile_n=512,
     """
     with jax.enable_x64(False):
         return _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n,
-                                  points_cols)
+                                  points_cols, dot_mode)
 
 
 def _pad_points(points, n_pad, d):
@@ -129,7 +165,8 @@ def _pad_points(points, n_pad, d):
     return out
 
 
-def _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n, points_cols):
+def _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n, points_cols,
+                       dot_mode):
     points = jnp.asarray(points, dtype=jnp.float32)
     scale = jnp.asarray(scale, dtype=jnp.float32)
     V = jnp.asarray(V, dtype=jnp.float32)
@@ -155,12 +192,12 @@ def _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n, points_cols):
     V_pad = V_pad.at[:nc, :r].set(V)
 
     out = _matern_matmat_padded(pts_rows, pts_cols_t, V_pad, float(nu),
-                                d, tile_m, tile_n)
+                                d, tile_m, tile_n, dot_mode)
     return out[:nr, :r]
 
 
 def _blocksparse_kernel(pair_i_ref, pair_j_ref, pr_ref, pc_ref, v_ref,
-                        out_ref, *, nu, d, tau):
+                        out_ref, *, nu, d, tau, dot_mode):
     p = pl.program_id(0)
     i_cur = pair_i_ref[p]
     i_prev = pair_i_ref[jnp.maximum(p - 1, 0)]
@@ -176,8 +213,7 @@ def _blocksparse_kernel(pair_i_ref, pair_j_ref, pr_ref, pc_ref, v_ref,
     # hard taper: exact parity with the reference's threshold drop
     k_tile = jnp.where(k_tile >= tau, k_tile, 0.0)
 
-    acc = jnp.dot(k_tile, v_ref[:], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
+    acc = _tile_dot(k_tile, v_ref[:], dot_mode)
 
     @pl.when(first)
     def _():
@@ -189,14 +225,15 @@ def _blocksparse_kernel(pair_i_ref, pair_j_ref, pr_ref, pc_ref, v_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nu", "d", "tau", "tile"))
+                   static_argnames=("nu", "d", "tau", "tile", "dot_mode"))
 def _blocksparse_padded(pts_rows, pts_cols_t, V, pair_i, pair_j, nu, d,
-                        tau, tile):
+                        tau, tile, dot_mode):
     n_pad = pts_rows.shape[0]
     r_pad = V.shape[1]
     num_pairs = pair_i.shape[0]
 
-    kernel = functools.partial(_blocksparse_kernel, nu=nu, d=d, tau=tau)
+    kernel = functools.partial(_blocksparse_kernel, nu=nu, d=d, tau=tau,
+                               dot_mode=dot_mode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_pairs,),
