@@ -56,8 +56,13 @@ def _factorize_chunk(points, rhos, nus, AB, k, s, nu_static):
         Vm = jnp.transpose(Vs, (2, 0, 1)).reshape(s * k, -1)
         G = jnp.matmul(Vm, Vm.T, precision="highest").reshape(
             s, k, s, k).transpose(0, 2, 1, 3)
+        # probe overlaps with the deflation chain (column s) -> one-pass
+        # deflation of the trace quadratures (see stochastic
+        # .deflated_quadrature)
+        P = jnp.einsum("kn,np->kp", V[:, :, s], AB[:, s + 1:],
+                       precision="highest")
         trace_K2 = jnp.sum(K * K)
-        return alphas, betas, U, G, trace_K2
+        return alphas, betas, U, G, P, trace_K2
 
     return jax.vmap(one)(rhos, nus)
 
@@ -93,11 +98,14 @@ class GridKrylovProfileLikelihood:
 
         A = np.concatenate([z[:, None], X], axis=1)
         self.rhs_norms = np.linalg.norm(A, axis=0)
+        k_probe, k_defl = jax.random.split(jax.random.PRNGKey(key))
         probes = jax.random.rademacher(
-            jax.random.PRNGKey(key), (self.n, num_probes), dtype=dtype)
-        AB = jnp.concatenate([jnp.asarray(A, dtype=dtype), probes], axis=1)
-        probe_norm2 = np.asarray(jnp.sum(probes * probes, axis=0),
-                                 dtype=np.float64)
+            k_probe, (self.n, num_probes), dtype=dtype)
+        v_defl = jax.random.normal(k_defl, (self.n, 1), dtype=dtype)
+        # block layout: [z, X | deflation chain | probes]
+        AB = jnp.concatenate(
+            [jnp.asarray(A, dtype=dtype), v_defl, probes], axis=1)
+        probe_norm2 = np.full(num_probes, float(self.n))  # Rademacher
 
         if chunk is None:
             bytes_per_k = self.n * self.n * jnp.dtype(dtype).itemsize
@@ -113,7 +121,7 @@ class GridKrylovProfileLikelihood:
                 print(f"grid-krylov: factorizing points "
                       f"{start}..{stop - 1} ({b} kernels, n={self.n}, "
                       f"k={self.k})")
-            al, be, U, G, tK2 = _factorize_chunk(
+            al, be, U, G, P, tK2 = _factorize_chunk(
                 pts_dev,
                 jnp.asarray(self.rhos[start:stop], dtype=dtype),
                 jnp.asarray(self.nus[start:stop], dtype=dtype),
@@ -122,11 +130,15 @@ class GridKrylovProfileLikelihood:
             be = np.asarray(be, dtype=np.float64)
             U = np.asarray(U, dtype=np.float64)
             G = np.asarray(G, dtype=np.float64)
+            P = np.asarray(P, dtype=np.float64)
             tK2 = np.asarray(tK2, dtype=np.float64)
             for i in range(b):
-                traces = stochastic.StochasticTraceEngine.from_tridiagonals(
-                    al[i, self.s:], be[i, self.s:], probe_norm2, self.n,
+                nodes, weights = stochastic.deflated_quadrature(
+                    al[i, self.s], be[i, self.s], al[i, self.s + 1:],
+                    be[i, self.s + 1:], P[i], probe_norm2, self.n,
                     trace_K2=tK2[i])
+                traces = stochastic.QuadratureTraceEngine(nodes, weights,
+                                                          self.n)
                 self.engines.append(
                     KrylovProfileLikelihood.from_factorization(
                         al[i, :self.s], be[i, :self.s], U[i], G[i],

@@ -1,0 +1,424 @@
+"""Matrix-free differentiable log-posterior over (eta, rho) at large N.
+
+BASELINE config 5 asks for NUTS/HMC over the kernel hyperparameters at
+N = 2*10^5 with hundreds of chains. The reference's counterpart workload
+is an outer loop of O(n^3) likelihood evaluations on a process pool
+(reference: examples/FindOptimalCovarianceParameters.py:632-702); the
+round-2 samplers here still built their target as a dense per-leapfrog
+Cholesky (models/kernel_posterior.py), which caps them near n ~ 4k.
+
+TPU-native redesign — amortize EVERYTHING out of the leapfrog loop:
+
+1. **rho nodes.** The profile log-likelihood lp(eta, rho) is analytic in
+   log10(rho); place B Chebyshev-Lobatto nodes over the sampling box and
+   pay the large-n work only there (geometric convergence: ~12-16 nodes
+   resolve the surface to fractions of a nat even at n = 10^5).
+2. **One batched Lanczos factorization per node** against the shared
+   augmented block [z, X, probes] (fused Pallas Matern matvecs, K never
+   materialized) — the same engine as models.large_scale, run at B
+   scales. O(B k) matvecs ONCE, at any n the matvec supports.
+3. **Ritz-space target.** Each k x k tridiagonal is eigendecomposed on
+   the host (float64); solves, Grams, logdet and trace quadratures all
+   become ELEMENTWISE functions of (lambda + eta) — the eta-dependence of
+   lp is exact, closed-form, and autodiff-differentiable. The stochastic
+   logdet collapses to a FIXED quadrature: one extra random column in
+   the same Lanczos pass supplies converged Ritz pairs whose
+   per-probe contributions are subtracted (one-pass deflation — unbiased
+   because E[(v^T w)^2] = |w|^2 for Rademacher probes even when w is not
+   an exact eigenvector), and the control-variate regression against the
+   exactly-known moments trace(K^q), q = 0,1,2, is precomputed into
+   linear weights; what remains at runtime is sum_j W_j f(node_j + eta)
+   over ~p*k probe Ritz nodes plus the deflation nodes.
+4. **Barycentric interpolation** across the rho nodes (second
+   barycentric formula, differentiable) gives lp at ANY (eta, rho) in
+   microseconds: a leapfrog gradient step costs O(B s^2 k^2) elementwise
+   flops — independent of n — so 256 chains x thousands of steps run as
+   one tiny batched XLA program.
+
+The probe vectors are SHARED across nodes, so the Monte-Carlo error is a
+*smooth deterministic perturbation* of the surface (not per-eval noise):
+HMC on the perturbed surface is exact MCMC for a posterior whose
+log-density differs from the true one by a fixed smooth field of
+sub-nat magnitude — the same guarantee the reference's trace-interpolated
+derivative method offers (examples/CompareVariousNumberOfPoints.py:68).
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import stochastic
+
+
+@partial(jax.jit,
+         static_argnames=("k", "s", "nu", "use_pallas", "block_rows"))
+def _factorize_node(points, scale, AB, k, s, nu, use_pallas, block_rows):
+    """Lanczos-factorize K(scale) against AB = [z, X, probes].
+
+    ``scale`` is TRACED (one compiled program serves every rho node).
+    Returns (alphas (C, k), betas (C, k-1), U (s, k, s), G (s, s, k, k),
+    trace_K2) with C = AB.shape[1].
+    """
+    from ..ops import operators
+
+    if use_pallas:
+        from ..ops import pallas_kernels
+
+        def matvec(W):
+            return pallas_kernels.matern_matmat(points, scale, W, nu)
+    else:
+        def matvec(W):
+            return operators._matern_matmat_blocked(points, scale, W, nu,
+                                                    block_rows)
+
+    alphas, betas, V = stochastic.lanczos(matvec, AB, k,
+                                          reorthogonalize=True)
+    Vs = V[:, :, :s]
+    U = jnp.einsum("knj,nt->jkt", Vs, AB[:, :s], precision="highest")
+    Vm = jnp.transpose(Vs, (2, 0, 1)).reshape(s * k, -1)
+    G = jnp.matmul(Vm, Vm.T, precision="highest").reshape(
+        s, k, s, k).transpose(0, 2, 1, 3)
+    # probe overlaps with the deflation chain's basis (column s):
+    # P[a, i] = V_defl[a] . probe_i — the one-pass deflation inputs
+    P = jnp.einsum("kn,np->kp", V[:, :, s], AB[:, s + 1:],
+                   precision="highest")
+    tK2 = operators._matern_frobenius2_blocked(points, scale, nu,
+                                               block_rows)
+    return alphas, betas, U, G, P, tK2
+
+
+def _chebyshev_lobatto(lo, hi, num):
+    """Nodes (descending in [-1,1] order mapped to [lo,hi]) and the
+    standard barycentric weights (+-1, halved at the ends)."""
+    j = np.arange(num)
+    x = np.cos(np.pi * j / (num - 1))
+    w = np.ones(num)
+    w[0] = w[-1] = 0.5
+    w *= (-1.0) ** j
+    nodes = 0.5 * (lo + hi) + 0.5 * (hi - lo) * x
+    return nodes, w, x
+
+
+class KrylovPosteriorSurface:
+    """Amortized differentiable profile-likelihood surface lp(eta, rho).
+
+    Build once (O(B k) fused matvecs at ``num_nodes`` rho values), then
+    ``profile_loglik(log10_eta, log10_rho)`` is a pure jittable function
+    whose cost is independent of n. Plug into HMC/NUTS via
+    :meth:`make_log_posterior` / :meth:`make_bounded_log_posterior`, or
+    sample directly with :func:`gppe_tpu.models.hmc.sample_posterior`
+    (``target=surface``).
+    """
+
+    def __init__(self, points, z, X, nu=0.5, log10_rho_bounds=(-1.5, -0.5),
+                 num_nodes=12, lanczos_steps=64, num_probes=24, key=0,
+                 use_pallas=None, block_rows=1024, operator_factory=None,
+                 verbose=False):
+        """``operator_factory``: optional ``rho -> operator`` override for
+        non-default operators (e.g. ops.taper.TaperedMaternOperator); each
+        node then factorizes through that operator's matmat (per-node
+        compile — the default fused path compiles once for all nodes).
+        """
+        from ..utils.config import (compute_dtype, is_tpu,
+                                    ensure_inference_precision)
+
+        # the Ritz-space target math is float64 (tiny arrays — fine even
+        # emulated on TPU); the O(n) Lanczos below stays in compute dtype
+        ensure_inference_precision()
+        dtype = compute_dtype()
+        pts = np.asarray(points, dtype=np.float64)
+        z = np.asarray(z, dtype=np.float64)
+        X = np.asarray(X, dtype=np.float64)
+        self.n, self.m = X.shape
+        self.s = self.m + 1
+        self.k = int(min(lanczos_steps, self.n))
+        self.p = int(num_probes)
+        self.nu = float(nu)
+        self.log10_rho_bounds = (float(log10_rho_bounds[0]),
+                                 float(log10_rho_bounds[1]))
+
+        nodes, bw, _ = _chebyshev_lobatto(self.log10_rho_bounds[0],
+                                          self.log10_rho_bounds[1],
+                                          int(num_nodes))
+        self.log10_rho_nodes = nodes                      # (B,)
+        self._bary_w = jnp.asarray(bw, dtype=jnp.float64)
+        B = nodes.shape[0]
+
+        if use_pallas is None:
+            use_pallas = is_tpu() and self.nu in (0.5, 1.5, 2.5)
+
+        A = np.concatenate([z[:, None], X], axis=1)
+        rhs_norms = np.linalg.norm(A, axis=0)
+        k_probe, k_defl = jax.random.split(jax.random.PRNGKey(key))
+        probes = jax.random.rademacher(
+            k_probe, (self.n, self.p), dtype=dtype)
+        v_defl = jax.random.normal(k_defl, (self.n, 1), dtype=dtype)
+        # block layout: [z, X | deflation chain | probes]
+        AB = jnp.concatenate(
+            [jnp.asarray(A, dtype=dtype), v_defl, probes], axis=1)
+        probe_norm2 = np.full(self.p, float(self.n))  # Rademacher: exact
+        C = self.s + 1 + self.p
+
+        pts_dev = jnp.asarray(pts, dtype=dtype)
+        al_all = np.empty((B, C, self.k))
+        be_all = np.empty((B, C, self.k - 1))
+        U_all = np.empty((B, self.s, self.k, self.s))
+        G_all = np.empty((B, self.s, self.s, self.k, self.k))
+        P_all = np.empty((B, self.k, self.p))
+        tK2_all = np.empty(B)
+        for b, lrho in enumerate(nodes):
+            rho = 10.0 ** lrho
+            if verbose:
+                print(f"krylov-posterior: node {b + 1}/{B} "
+                      f"rho={rho:.5g} (n={self.n}, k={self.k})")
+            if operator_factory is not None:
+                op = operator_factory(rho)
+                al, be, U, G, P = _factorize_operator(op, AB, self.k,
+                                                      self.s)
+                tK2 = float(op.trace_pow(2))
+            else:
+                al, be, U, G, P, tK2 = _factorize_node(
+                    pts_dev, jnp.asarray(rho, dtype=dtype), AB, self.k,
+                    self.s, self.nu, use_pallas,
+                    int(min(block_rows, self.n)))
+            al_all[b] = np.asarray(al, dtype=np.float64)
+            be_all[b] = np.asarray(be, dtype=np.float64)
+            U_all[b] = np.asarray(U, dtype=np.float64)
+            G_all[b] = np.asarray(G, dtype=np.float64)
+            P_all[b] = np.asarray(P, dtype=np.float64)
+            tK2_all[b] = float(tK2)
+
+        self._build_ritz(al_all, be_all, U_all, G_all, P_all, tK2_all,
+                         rhs_norms, probe_norm2)
+
+    # -- host: eigendecompose the tridiagonals, precompute constants ------
+
+    def _build_ritz(self, al, be, U, G, P, tK2, rhs_norms, probe_norm2):
+        B, C, k = al.shape
+        s, p, n = self.s, self.p, self.n
+        lam = np.empty((B, C, k))
+        Q = np.empty((B, C, k, k))
+        for b in range(B):
+            for c in range(C):
+                T = (np.diag(al[b, c]) + np.diag(be[b, c], 1)
+                     + np.diag(be[b, c], -1))
+                w, V = np.linalg.eigh(T)
+                lam[b, c] = w
+                Q[b, c] = V
+        # K is PSD: clip f32-roundoff negatives
+        lam = np.maximum(lam, 0.0)
+
+        # solve block in eigenbasis: c_j(eta) = e1w_j / (lam_j + eta)
+        e1w = Q[:, :s, 0, :] * rhs_norms[None, :, None]     # (B, s, k)
+        # Ut[b, j, kappa, t] = sum_a Q[b,j][a,kappa] U[b,j,a,t]
+        Ut = np.einsum("bjak,bjat->bjkt", Q[:, :s], U)
+        # Gt[b, i, j] = Q_i^T G_ij Q_j
+        Gt = np.einsum("niax,nijac,njcy->nijxy", Q[:, :s], G, Q[:, :s])
+
+        # probe quadrature nodes/weights (probe chains: columns s+1..C)
+        theta = lam[:, s + 1:, :]                           # (B, p, k)
+        tau = Q[:, s + 1:, 0, :] ** 2                       # (B, p, k)
+
+        # --- one-pass deflation from the dedicated chain (column s) -----
+        # Converged Ritz pairs (mu_t, w_t) of the deflation chain; each
+        # probe's overlap c_it = (v_i . w_t)^2 is computable from the
+        # stored basis overlaps P. The deflated per-probe estimate
+        #   F_i - sum_t c_it f(mu_t + eta)
+        # is unbiased for trace f - sum_t f(mu_t + eta) (E[c_it] = 1 for
+        # Rademacher probes), and removes the top-spectrum variance that
+        # dominates SLQ logdet error for smooth kernels.
+        mu_all = lam[:, s, :]
+        mus, cits = [], []
+        qmax = 0
+        for b in range(B):
+            Td_Q = Q[b, s]                                  # (k, k)
+            resid = (np.abs(be[b, s, -1]) * np.abs(Td_Q[-1, :])
+                     if k > 1 else np.zeros(k))
+            tol_r = 1e-3 * max(mu_all[b].max(), 1.0)
+            # both spectral ends (top drives logdet variance, bottom
+            # drives traceinv at small eta), as ops.stochastic's engine
+            order_hi = np.argsort(mu_all[b])[::-1]
+            order_lo = np.argsort(mu_all[b])
+            keep, seen = [], set()
+            for pair in zip(order_hi, order_lo):
+                for t in pair:
+                    if resid[t] < tol_r and t not in seen:
+                        seen.add(t)
+                        keep.append(t)
+            keep = np.asarray(keep, dtype=int)
+            # (v_i . w_t) = sum_a P[b, a, i] Q_d[a, t]
+            vw = P[b].T @ Td_Q[:, keep] if keep.size else np.zeros((p, 0))
+            mus.append(mu_all[b][keep])
+            cits.append(vw ** 2)                            # (p, q_b)
+            qmax = max(qmax, keep.size)
+
+        # --- control-variate regression on the DEFLATED estimates,
+        # collapsed to fixed linear weights omega over probes ------------
+        M = np.stack([np.full(B, float(n)),                 # trace(K^0)
+                      np.full(B, float(n)),                 # trace(K) = n
+                      tK2], axis=1)                         # trace(K^2)
+        # final quadrature: probe Ritz nodes + deflation nodes, padded
+        n_nodes = p * k + qmax
+        qnodes = np.ones((B, n_nodes))
+        qweights = np.zeros((B, n_nodes))
+        for b in range(B):
+            mu_b, cit = mus[b], cits[b]
+            q_b = mu_b.shape[0]
+            mq_raw = np.stack([
+                probe_norm2 * tau[b].sum(axis=1),
+                probe_norm2 * (tau[b] * theta[b]).sum(axis=1),
+                probe_norm2 * (tau[b] * theta[b] ** 2).sum(axis=1),
+            ], axis=1)                                      # (p, 3)
+            mu_pows = np.stack([np.ones_like(mu_b), mu_b, mu_b ** 2],
+                               axis=1)                      # (q_b, 3)
+            mq = mq_raw - cit @ mu_pows                     # deflated
+            Mb = M[b] - mu_pows.sum(axis=0)                 # deflated targets
+            Xc = mq - mq.mean(axis=0, keepdims=True)
+            Gm = Xc.T @ Xc
+            Gm += 1e-12 * np.trace(Gm) / 3.0 * np.eye(3)
+            Pm = np.linalg.solve(Gm, Xc.T)                  # (3, p)
+            r = Mb - mq.mean(axis=0)                        # (3,)
+            qw = Pm.T @ r                                   # (p,)
+            omega = qw + (1.0 - qw.sum()) / p               # (p,)
+            # trace f ~= sum_i omega_i F_i
+            #           + sum_t (1 - sum_i omega_i c_it) f(mu_t + eta)
+            w_probe = omega[:, None] * probe_norm2[:, None] * tau[b]
+            gamma = 1.0 - omega @ cit                       # (q_b,)
+            qnodes[b, :p * k] = theta[b].ravel()
+            qweights[b, :p * k] = w_probe.ravel()
+            qnodes[b, p * k:p * k + q_b] = mu_b
+            qweights[b, p * k:p * k + q_b] = gamma
+
+        f64 = jnp.float64
+        self._lam_s = jnp.asarray(lam[:, :s], dtype=f64)     # (B, s, k)
+        self._e1w = jnp.asarray(e1w, dtype=f64)
+        self._Ut = jnp.asarray(Ut, dtype=f64)
+        self._Gt = jnp.asarray(Gt, dtype=f64)
+        self._qnodes = jnp.asarray(qnodes, dtype=f64)        # (B, M)
+        self._qweights = jnp.asarray(qweights, dtype=f64)
+
+    # -- per-eval math (jittable, autodiff) -------------------------------
+
+    def _node_stats(self, eta):
+        """Per-node ingredients at one eta. All (B, ...) batched."""
+        n, m = self.n, self.m
+        c1 = self._e1w / (self._lam_s + eta)                  # (B, s, k)
+        Cm = jnp.einsum("bjkt,bjk->btj", self._Ut, c1)        # (B, s, s)
+        Bm = Cm[:, 1:, 1:]
+        Bm = 0.5 * (Bm + jnp.swapaxes(Bm, 1, 2))              # (B, m, m)
+        Ytz = Cm[:, 0, 1:]                                    # (B, m)
+        zw = Cm[:, 0, 0]
+        c = jnp.linalg.solve(Bm, Ytz[..., None])[..., 0]      # (B, m)
+        zMz = zw - jnp.einsum("bm,bm->b", Ytz, c)
+        sign, logdet_B = jnp.linalg.slogdet(Bm)
+        # SLQ logdet of Kn: fixed deflated-CV quadrature (see _build_ritz)
+        logdet_Kn = jnp.sum(
+            self._qweights
+            * jnp.log(jnp.maximum(self._qnodes + eta, 1e-300)), axis=1)
+        return zMz, logdet_Kn, logdet_B
+
+    def _node_lp(self, eta):
+        """Profile lp per rho node (B,) at one eta (reference profile
+        form, _profile_likelihood.py:76-85, sigma profiled out)."""
+        n, m = self.n, self.m
+        zMz, logdet_Kn, logdet_B = self._node_stats(eta)
+        sigma2 = zMz / (n - m)
+        return (-0.5 * (n - m) * jnp.log(sigma2) - 0.5 * logdet_Kn
+                - 0.5 * logdet_B - 0.5 * (n - m))
+
+    def _interp(self, vals, log10_rho):
+        """Second barycentric formula over the rho nodes (stable,
+        differentiable away from exact node hits; float64)."""
+        lo, hi = self.log10_rho_bounds
+        x = 2.0 * (log10_rho - 0.5 * (lo + hi)) / (hi - lo)
+        xj = jnp.asarray(
+            2.0 * (self.log10_rho_nodes - 0.5 * (lo + hi)) / (hi - lo),
+            dtype=jnp.float64)
+        diff = x - xj
+        # exact node hits: clamp |diff| away from 0 keeping the sign —
+        # the barycentric ratio limits to vals[j] as diff -> 0, so the
+        # clamp only regularizes the division (error O(1e-13))
+        safe = jnp.where(jnp.abs(diff) < 1e-13,
+                         jnp.where(diff < 0, -1e-13, 1e-13), diff)
+        w = self._bary_w / safe
+        return jnp.sum(w * vals) / jnp.sum(w)
+
+    def profile_loglik(self, log10_eta, log10_rho):
+        """lp at (log10 eta, log10 rho) — jittable, autodiff-able,
+        cost independent of n."""
+        eta = jnp.power(10.0, jnp.asarray(log10_eta, jnp.float64))
+        vals = self._node_lp(eta)
+        return self._interp(vals, jnp.asarray(log10_rho, jnp.float64))
+
+    def logdet(self, log10_eta, log10_rho):
+        """Interpolated SLQ logdet(K + eta I) (diagnostics)."""
+        eta = jnp.power(10.0, jnp.asarray(log10_eta, jnp.float64))
+        vals = jnp.sum(
+            self._qweights
+            * jnp.log(jnp.maximum(self._qnodes + eta, 1e-300)), axis=1)
+        return self._interp(vals, jnp.asarray(log10_rho, jnp.float64))
+
+    # -- posterior targets -------------------------------------------------
+
+    def make_log_posterior(self, log_prior=None):
+        """theta = [log10_eta, log10_rho] -> log posterior (the
+        change-of-variables Jacobian to log10 coordinates included, as
+        models.kernel_posterior.make_log_posterior)."""
+        ln10 = float(np.log(10.0))
+
+        def log_post(theta):
+            l_eta, l_rho = theta[0], theta[1]
+            val = self.profile_loglik(l_eta, l_rho)
+            if log_prior is not None:
+                val = val + log_prior(jnp.power(10.0, l_eta),
+                                      jnp.power(10.0, l_rho))
+                val = val + (l_eta + l_rho) * ln10
+            return val
+
+        return log_post
+
+    def make_bounded_log_posterior(self, log10_eta_bounds=(-3.0, 3.0),
+                                   log_prior=None):
+        """Unconstrained sigmoid-transformed target over the
+        (log10 eta, log10 rho) box — the rho box is the surface's node
+        range (samples cannot leave the interpolated region). Returns
+        (log_post_u, u_to_theta); see
+        kernel_posterior.make_bounded_log_posterior for why HMC prefers
+        this form."""
+        log_post_theta = self.make_log_posterior(log_prior=log_prior)
+        lo = jnp.asarray([log10_eta_bounds[0], self.log10_rho_bounds[0]],
+                         dtype=jnp.float64)
+        hi = jnp.asarray([log10_eta_bounds[1], self.log10_rho_bounds[1]],
+                         dtype=jnp.float64)
+        margin = 1e-6
+
+        def u_to_theta(u):
+            s = margin + (1.0 - 2.0 * margin) * jax.nn.sigmoid(u)
+            return lo + (hi - lo) * s
+
+        def log_post_u(u):
+            theta = u_to_theta(u)
+            log_jac = jnp.sum(jnp.log(hi - lo) + jnp.log1p(-2.0 * margin)
+                              + jax.nn.log_sigmoid(u)
+                              + jax.nn.log_sigmoid(-u))
+            return log_post_theta(theta) + log_jac
+
+        return log_post_u, u_to_theta
+
+
+def _factorize_operator(op, AB, k, s):
+    """Factorize an arbitrary operator (taper / user CSR) against AB."""
+    matvec = op.matmat if hasattr(op, "matmat") else (lambda W: op @ W)
+    alphas, betas, V = stochastic.lanczos(matvec, AB, k,
+                                          reorthogonalize=True)
+    Vs = V[:, :, :s]
+    U = jnp.einsum("knj,nt->jkt", Vs, AB[:, :s], precision="highest")
+    Vm = jnp.transpose(Vs, (2, 0, 1)).reshape(s * k, -1)
+    G = jnp.matmul(Vm, Vm.T, precision="highest").reshape(
+        s, k, s, k).transpose(0, 2, 1, 3)
+    P = jnp.einsum("kn,np->kp", V[:, :, s], AB[:, s + 1:],
+                   precision="highest")
+    return alphas, betas, U, G, P

@@ -61,6 +61,7 @@ class KrylovProfileLikelihood:
 
     def __init__(self, operator, X, z, lanczos_steps=80, num_probes=16,
                  key=0):
+        import jax
         import jax.numpy as jnp
         from ..utils.config import compute_dtype
 
@@ -79,33 +80,51 @@ class KrylovProfileLikelihood:
         matvec = operator.matmat if hasattr(operator, "matmat") else (
             lambda V: operator @ V)
 
-        # 1) trace engine prepares deflation + projected probes but defers
-        #    its Lanczos: the probe columns ride the SAME batched pass as
-        #    the solve block below (the Pallas matvec pads the RHS width to
-        #    128 lanes anyway, so the merged pass costs one pass, not two).
-        self.traces = stochastic.StochasticTraceEngine(
-            operator, num_probes=num_probes, lanczos_steps=lanczos_steps,
-            key=key, defer_lanczos=True)
-
-        # 2) ONE batched Lanczos pass over [z, X, probes]
-        AB = jnp.concatenate([A_dev, self.traces.probes], axis=1)
+        # ONE merged Lanczos pass over [z, X, v_defl, probes]: the solve
+        # block, the deflation chain, and the trace probes all ride the
+        # same batched matvecs (the Pallas matvec pads the RHS width to
+        # 128 lanes anyway). The deflation happens *after the fact* via
+        # the one-pass quadrature collapse (ops.stochastic
+        # .deflated_quadrature) — no separate deflation Lanczos program
+        # to run OR compile, which halves both the setup's matvec count
+        # and its XLA compile surface vs the round-2 design.
+        k_probe, k_defl = jax.random.split(jax.random.PRNGKey(key))
+        probes = jax.random.rademacher(
+            k_probe, (self.n, num_probes), dtype=dtype)
+        v_defl = jax.random.normal(k_defl, (self.n, 1), dtype=dtype)
+        AB = jnp.concatenate([A_dev, v_defl, probes], axis=1)
         alphas, betas, V = stochastic.lanczos(matvec, AB, lanczos_steps,
                                               reorthogonalize=True)
         self.alphas = np.asarray(alphas[:self.s], dtype=np.float64)  # (s, k)
         self.betas = np.asarray(betas[:self.s], dtype=np.float64)    # (s, k-1)
-        self.traces.finalize(alphas[self.s:], betas[self.s:])
 
-        # 3) small projections, computed on-device then shipped to host:
-        #    U[j, :, t] = V_j . a_t       (s, k, s)
-        #    G[i, j, a, b] = V_i[a] . V_j[b]   (s, s, k, k)
+        # small projections, computed on-device then shipped to host:
+        #   U[j, :, t] = V_j . a_t            (s, k, s)
+        #   G[i, j, a, b] = V_i[a] . V_j[b]   (s, s, k, k)
+        #   P[a, i] = V_defl[a] . probe_i     (k, p)
         Vs = V[:, :, :self.s]
         U = jnp.einsum("knj,nt->jkt", Vs, A_dev,
                        precision="highest")
         Vm = jnp.transpose(Vs, (2, 0, 1)).reshape(self.s * self.k, self.n)
         G = jnp.matmul(Vm, Vm.T, precision="highest")
+        P = jnp.einsum("kn,np->kp", V[:, :, self.s], probes,
+                       precision="highest")
         self.U = np.asarray(U, dtype=np.float64)
         self.G = np.asarray(G, dtype=np.float64).reshape(
             self.s, self.k, self.s, self.k).transpose(0, 2, 1, 3)
+
+        trace_K2 = (float(operator.trace_pow(2))
+                    if hasattr(operator, "trace_pow") else None)
+        nodes, weights = stochastic.deflated_quadrature(
+            np.asarray(alphas[self.s], dtype=np.float64),
+            np.asarray(betas[self.s], dtype=np.float64),
+            np.asarray(alphas[self.s + 1:], dtype=np.float64),
+            np.asarray(betas[self.s + 1:], dtype=np.float64),
+            np.asarray(P, dtype=np.float64),
+            np.full(num_probes, float(self.n)), self.n,
+            trace_K2=trace_K2)
+        self.traces = stochastic.QuadratureTraceEngine(nodes, weights,
+                                                       self.n)
 
     @classmethod
     def from_factorization(cls, alphas, betas, U, G, rhs_norms, traces,

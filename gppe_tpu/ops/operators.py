@@ -76,7 +76,14 @@ class MaternOperator:
     """
 
     def __init__(self, points, scale, nu=0.5, block_rows=1024, dtype=None,
-                 use_pallas=None):
+                 use_pallas=None, dot_mode=None):
+        """``dot_mode``: tile-dot precision of the Pallas path (one of
+        pallas_kernels.DOT_MODES; None = library default). Pass 'highest'
+        for an exactly linear/symmetric operator — the default 'bf16x3'
+        rounds the operand, so u.(Kv) and v.(Ku) differ at ~1e-6
+        (irrelevant to Lanczos/CG, which re-measure residuals, but
+        selectable here for consumers with tolerances below that floor).
+        """
         dtype = dtype or compute_dtype()
         self.points = jnp.asarray(points, dtype=dtype)
         n, d = self.points.shape
@@ -85,6 +92,7 @@ class MaternOperator:
         self.block_rows = int(min(block_rows, n))
         self.dtype = dtype
         self._n = n
+        self.dot_mode = dot_mode
         if use_pallas is None:
             from ..utils.config import is_tpu
             use_pallas = is_tpu() and self.nu in (0.5, 1.5, 2.5)
@@ -102,7 +110,8 @@ class MaternOperator:
         if self.use_pallas:
             from . import pallas_kernels
             out = pallas_kernels.matern_matmat(
-                self.points, self.scale, V, self.nu)
+                self.points, self.scale, V, self.nu,
+                dot_mode=self.dot_mode)
         else:
             out = _matern_matmat_blocked(self.points, self.scale, V,
                                          self.nu, self.block_rows)

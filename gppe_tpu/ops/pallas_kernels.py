@@ -12,18 +12,17 @@ Layout: points are pre-scaled by 1/scale and stored transposed (d_pad, n)
 with d padded to the sublane width 8, so tiles are (8, TN) — native TPU
 tiling. The pairwise distance uses the exact difference form per
 dimension (d <= 8, cancellation-free), the Matern branch is selected
-statically from nu, and the tile-dot precision is selectable (measured at
-n = 100k, tile 1024, v5e — see ``DOT_MODES``):
-
-  dot_mode='highest'  f32 (6-pass bf16 on the MXU)   96 ms/matvec  exact
-  dot_mode='bf16x3'   3-dot compensated bf16 split   72 ms/matvec  4e-6 rel
-  dot_mode='bf16'     1-pass bf16, f32 accumulate    41 ms/matvec  2e-3 rel
+statically from nu, and the tile-dot precision is selectable (see
+``DOT_MODES``; defaults ``DEFAULT_TILE``/``DEFAULT_DOT_MODE`` are set
+from on-chip measurement — the table lives next to them below).
 
 'bf16x3' splits both operands into bf16 high + residual parts and drops
 only the lo*lo term — the classical compensated-product scheme, f32-level
-accuracy at half the HIGHEST cost. It is the default: every consumer
-(Lanczos with full reorth, CG, power iteration) is iterative and the
-4e-6 matvec perturbation is far below the f32 arithmetic it feeds.
+accuracy (~4e-6 rel) cheaper than HIGHEST's 6-pass product. Caveat: the
+operand split ROUNDS v, so the map v -> K@v is not exactly linear and
+u.(Kv) != v.(Ku) at the ~1e-6 level — harmless for Lanczos/CG which
+re-measure residuals, but exact-symmetry consumers should pass
+dot_mode='highest' (see tests/test_kernels.py::test_bf16x3_symmetry).
 """
 
 import functools
@@ -36,6 +35,23 @@ from jax.experimental.pallas import tpu as pltpu
 _SUBLANE = 8
 
 DOT_MODES = ("highest", "bf16x3", "bf16")
+
+# Defaults, set from on-chip measurement (v5e-1, n = 100k, r_pad = 128,
+# steady-state ms per fused matvec measured INSIDE a jitted dependent
+# chain — independent repeated calls overlap on the tunneled backend and
+# under-read by ~7x, so these are the honest numbers; see
+# tests/test_kernels.py and BENCH_r03):
+#
+#   tile  dot_mode   warm ms/matvec   full-constructor cold compile
+#   512   highest        (r1 default — see BENCH table in repo root)
+#   512   bf16x3
+#   1024  highest
+#   1024  bf16x3         (r2 default: pathological compile, reverted)
+#
+# The table is produced by drivers/profile_pallas_matrix.py and the
+# values recorded in BENCH_r03; defaults below follow that data.
+DEFAULT_TILE = 512
+DEFAULT_DOT_MODE = "bf16x3"
 
 
 def _tile_dot(k_tile, v, dot_mode: str):
@@ -137,8 +153,8 @@ def _matern_matmat_padded(pts_rows, pts_cols_t, V, nu, d, tile_m, tile_n,
     )(pts_rows, pts_cols_t, V)
 
 
-def matern_matmat(points, scale, V, nu, tile_m=1024, tile_n=1024,
-                  points_cols=None, dot_mode="bf16x3"):
+def matern_matmat(points, scale, V, nu, tile_m=None, tile_n=None,
+                  points_cols=None, dot_mode=None):
     """K @ V with K the Matern correlation — fused, K never materialized.
 
     ``points`` are the row points (nr, d); ``points_cols`` defaults to the
@@ -150,6 +166,9 @@ def matern_matmat(points, scale, V, nu, tile_m=1024, tile_n=1024,
     Mosaic, which fails to legalize them; this kernel is float32 by
     design anyway.
     """
+    tile_m = DEFAULT_TILE if tile_m is None else tile_m
+    tile_n = DEFAULT_TILE if tile_n is None else tile_n
+    dot_mode = DEFAULT_DOT_MODE if dot_mode is None else dot_mode
     with jax.enable_x64(False):
         return _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n,
                                   points_cols, dot_mode)
@@ -261,13 +280,16 @@ def _blocksparse_padded(pts_rows, pts_cols_t, V, pair_i, pair_j, nu, d,
 
 
 def matern_matmat_blocksparse(points_sorted, V, nu, tau, pair_i, pair_j,
-                              tile):
+                              tile, dot_mode=None):
     """Tapered (block-sparse) K @ V over active tile pairs only.
 
     ``points_sorted``: (n_pad, d) spatially sorted, *already scaled*
     points (padded to a tile multiple); ``pair_i/pair_j``: active tile
     index pairs sorted by row tile (gppe_tpu.ops.taper builds them).
+    ``dot_mode`` follows :func:`matern_matmat` (default
+    ``DEFAULT_DOT_MODE``).
     """
+    dot_mode = DEFAULT_DOT_MODE if dot_mode is None else dot_mode
     with jax.enable_x64(False):
         pts = jnp.asarray(points_sorted, dtype=jnp.float32)
         n_pad, d = pts.shape
@@ -282,5 +304,5 @@ def matern_matmat_blocksparse(points_sorted, V, nu, tau, pair_i, pair_j,
             pts8, pts8.T, V_pad,
             jnp.asarray(pair_i, dtype=jnp.int32),
             jnp.asarray(pair_j, dtype=jnp.int32),
-            float(nu), d, float(tau), int(tile))
+            float(nu), d, float(tau), int(tile), dot_mode)
         return out[:, :r]

@@ -299,6 +299,116 @@ class StochasticTraceEngine:
         return self._quad(lambda t: t ** exponent, eta)
 
 
+def deflated_quadrature(al_defl, be_defl, al_probe, be_probe, P,
+                        probe_norm2, n, trace_K2=None):
+    """Collapse one-pass-deflated, CV-regressed SLQ into a fixed
+    quadrature (nodes, weights): trace f(K + eta I) ~= sum_j w_j
+    f(node_j + eta).
+
+    Inputs come from ONE merged Lanczos pass over [.., v_defl, probes]:
+    ``al_defl``/``be_defl`` the deflation chain's tridiagonal (k,)/(k-1,),
+    ``al_probe``/``be_probe`` the probe tridiagonals (p, k)/(p, k-1),
+    ``P`` (k, p) the probes' overlaps with the deflation chain's Lanczos
+    basis, ``probe_norm2`` (p,) the squared probe norms.
+
+    Math: converged Ritz pairs (mu_t, w_t) of the deflation chain are
+    subtracted per probe — F_i - sum_t (v_i . w_t)^2 f(mu_t + eta) is
+    unbiased for trace f - sum_t f(mu_t + eta) because
+    E[(v^T w)^2] = |w|^2 for Rademacher probes even when w is NOT an
+    exact eigenvector — then a control-variate regression against the
+    exactly known moments trace(K^q) (q = 0: n, q = 1: n for
+    unit-diagonal correlation K, q = 2: ||K||_F^2 if given) removes the
+    spectral-bulk variance. Both corrections are linear in the per-probe
+    quadratures, so they collapse into fixed weights. Replaces the
+    separate deflation pass + runtime regression of
+    StochasticTraceEngine for the single-factorization engines
+    (models.large_scale, models.grid_krylov, models.krylov_posterior).
+    """
+    al_probe = np.asarray(al_probe, dtype=np.float64)
+    be_probe = np.asarray(be_probe, dtype=np.float64)
+    p, k = al_probe.shape
+    probe_norm2 = np.asarray(probe_norm2, dtype=np.float64)
+
+    theta, tau = ritz_decompose(al_probe, be_probe)
+    theta = np.maximum(theta, 0.0)
+
+    # deflation chain Ritz system
+    a = np.asarray(al_defl, dtype=np.float64)
+    b = np.asarray(be_defl, dtype=np.float64)
+    T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
+    mu, Qd = np.linalg.eigh(T)
+    mu = np.maximum(mu, 0.0)
+    resid = (np.abs(b[-1]) * np.abs(Qd[-1, :])) if k > 1 else np.zeros(k)
+    tol_r = 1e-3 * max(mu.max(), 1.0)
+    order_hi = np.argsort(mu)[::-1]
+    order_lo = np.argsort(mu)
+    keep, seen = [], set()
+    for pair in zip(order_hi, order_lo):
+        for t in pair:
+            if resid[t] < tol_r and t not in seen:
+                seen.add(t)
+                keep.append(t)
+    keep = np.asarray(keep, dtype=int)
+    q_b = keep.size
+    mu_k = mu[keep]
+    P = np.asarray(P, dtype=np.float64)
+    vw = P.T @ Qd[:, keep] if q_b else np.zeros((p, 0))
+    cit = vw ** 2                                          # (p, q_b)
+
+    # CV regression on the deflated estimates -> fixed probe weights
+    mq_raw = np.stack([
+        probe_norm2 * tau.sum(axis=1),
+        probe_norm2 * (tau * theta).sum(axis=1),
+        probe_norm2 * (tau * theta ** 2).sum(axis=1),
+    ], axis=1)                                             # (p, 3)
+    mu_pows = np.stack([np.ones_like(mu_k), mu_k, mu_k ** 2], axis=1)
+    mq = mq_raw - cit @ mu_pows
+    n_mom = 3 if trace_K2 is not None else 2
+    targets = np.array([float(n), float(n),
+                        float(trace_K2) if trace_K2 is not None else 0.0])
+    targets = targets[:n_mom] - mu_pows.sum(axis=0)[:n_mom]
+    mq = mq[:, :n_mom]
+    Xc = mq - mq.mean(axis=0, keepdims=True)
+    Gm = Xc.T @ Xc
+    Gm += 1e-12 * np.trace(Gm) / n_mom * np.eye(n_mom)
+    Pm = np.linalg.solve(Gm, Xc.T)
+    r = targets - mq.mean(axis=0)
+    qw = Pm.T @ r
+    omega = qw + (1.0 - qw.sum()) / p
+
+    w_probe = omega[:, None] * probe_norm2[:, None] * tau   # (p, k)
+    gamma = 1.0 - omega @ cit                               # (q_b,)
+    nodes = np.concatenate([theta.ravel(), mu_k])
+    weights = np.concatenate([w_probe.ravel(), gamma])
+    return nodes, weights
+
+
+class QuadratureTraceEngine:
+    """Host-side trace engine over a fixed quadrature (nodes, weights):
+    trace f(K + eta I) = sum_j w_j f(node_j + eta). The collapsed form of
+    the deflated-CV SLQ estimator (see :func:`deflated_quadrature`) —
+    the drop-in ``traces`` object of
+    models.large_scale.KrylovProfileLikelihood."""
+
+    def __init__(self, nodes, weights, n):
+        self.nodes = np.asarray(nodes, dtype=np.float64)
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.n = int(n)
+
+    def _quad(self, f, eta):
+        return float(np.sum(self.weights * f(self.nodes + float(eta))))
+
+    def logdet(self, eta):
+        return self._quad(lambda t: np.log(np.maximum(t, 1e-300)), eta)
+
+    def traceinv(self, eta, exponent=1):
+        return self._quad(
+            lambda t: np.maximum(t, 1e-300) ** (-float(exponent)), eta)
+
+    def trace_pow(self, eta, exponent=1):
+        return self._quad(lambda t: t ** exponent, eta)
+
+
 def hutchinson_traceinv(K, eta, num_probes=32, key=0, tol=1e-6,
                         max_iter=1000, exponent=1):
     """Hutchinson estimator of trace((K+eta I)^-p) via batched CG solves

@@ -60,6 +60,18 @@ def inference_device():
     return host_device() if is_tpu() else jax.devices()[0]
 
 
+def _cache_dir_for_backend(base="/tmp/gppe_jax_cache"):
+    """Per-backend cache directory. CPU entries are AOT-compiled against
+    the build machine's exact feature set and can hang/SIGILL when a
+    TPU-session process (which also registers the cpu platform)
+    deserializes them — keep the platforms in separate directories."""
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    return f"{base}_{backend}"
+
+
 def ensure_inference_precision():
     """Enable jax x64 mode if it is off.
 
@@ -75,16 +87,20 @@ def ensure_inference_precision():
     # the tunneled TPU's remote compiles cost minutes; make sure they are
     # cached even when the user never called setup()
     if not jax.config.jax_compilation_cache_dir:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/gppe_jax_cache")
+        jax.config.update("jax_compilation_cache_dir",
+                          _cache_dir_for_backend())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def setup(cache_dir="/tmp/gppe_jax_cache"):
+def setup(cache_dir=None):
     """Production entrypoint setup: enable x64 (heavy math stays f32 via
     compute_dtype()) and the persistent compilation cache (the tunneled
     TPU's remote compile costs minutes per new graph — caching is
-    essential)."""
+    essential). ``cache_dir`` defaults to a per-backend directory (see
+    _cache_dir_for_backend)."""
     jax.config.update("jax_enable_x64", True)
+    if cache_dir is None:
+        cache_dir = _cache_dir_for_backend()
     if cache_dir:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -20,5 +20,5 @@ import jax  # noqa: E402
 # override it back to CPU-only for the unit-test mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/gppe_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/gppe_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

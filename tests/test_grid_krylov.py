@@ -54,9 +54,11 @@ def test_grid_lp_surface_ranks_like_exact(grid_fit):
         lps.append(float(pl_mod.log_likelihood(data, sigma, eta)))
     got = np.array([r["lp"] for r in results])
     assert np.argmax(got) == np.argmax(lps)
-    # values agree to ~1-nat accuracy (logdet is CV-regularized SLQ with
-    # 32 probes; the ranking above is the load-bearing property)
-    np.testing.assert_allclose(got, lps, atol=1.5)
+    # golden-grade surface values: the one-pass deflated + CV-regressed
+    # SLQ logdet (ops.stochastic.deflated_quadrature) resolves the
+    # surface to a tenth of a nat (VERDICT r2 item 5; was atol=1.5 with
+    # the plain 32-probe quadrature)
+    np.testing.assert_allclose(got, lps, atol=0.1)
 
 
 def test_grid_chunking_consistent():
