@@ -67,13 +67,21 @@ def run_dense(n_side, noise=0.2, scale=0.1, nu=0.5):
     return pts.shape[0], out
 
 
-def run_krylov(n, noise=0.2, scale=0.1, nu=0.5, density=None, seed=7):
+def run_krylov(n, noise=0.2, scale=0.1, nu=0.5, density=None, seed=7,
+               grid=False, lanczos_steps=64, num_probes=16):
     from gppe_tpu.models.large_scale import KrylovProfileLikelihood
     from gppe_tpu.ops import operators, taper
     from gppe_tpu.utils import data as data_utils
 
-    rng = np.random.RandomState(seed)
-    pts = rng.rand(n, 2)
+    if grid:
+        # the reference's sparse benchmark uses a structured grid
+        # (CompareVariousNumberOfPoints.py:259: side = rint(sqrt(2^p)))
+        side = int(round(np.sqrt(n)))
+        pts = data_utils.generate_points(side, dimension=2)
+        n = pts.shape[0]
+    else:
+        rng = np.random.RandomState(seed)
+        pts = rng.rand(n, 2)
     z = data_utils.generate_data(pts, noise)
     X = data_utils.generate_basis_functions(pts, 2)
 
@@ -84,13 +92,56 @@ def run_krylov(n, noise=0.2, scale=0.1, nu=0.5, density=None, seed=7):
         op = operators.MaternOperator(pts, scale, nu=nu)
 
     t0 = time.perf_counter()
-    eng = KrylovProfileLikelihood(op, X, z, lanczos_steps=64,
-                                  num_probes=16)
+    eng = KrylovProfileLikelihood(op, X, z, lanczos_steps=lanczos_steps,
+                                  num_probes=num_probes)
     pre = time.perf_counter() - t0
     t0 = time.perf_counter()
     r = eng.fit()
     opt = time.perf_counter() - t0
     return {"pre_s": pre, "opt_s": opt, **r}
+
+
+def main_sparse(ns=(65536, 262144, 1048576), density=1e-3, scale=0.005,
+                results_path="data/various_number_of_points_sparse.pickle",
+                use_saved=False, verbose=True):
+    """The reference's sparse scaling race
+    (CompareVariousNumberOfPoints.py:243-248: grid points, rho = 0.005,
+    nu = 0.5, tapered-sparse K, derivative method). Reference totals
+    (data/VariousNumberOfPoints-sparse.pickle): 28.0 s @ 2^16,
+    485 s @ 2^18, 10,032 s @ 2^20 — the artifact behind BENCH's
+    sparse_derivative_total_seconds_* rows (VERDICT r2 item 3)."""
+    from gppe_tpu.utils import checkpoint
+    from gppe_tpu.utils import config as cfg
+    cfg.setup()
+
+    reference_totals = {65536: 28.0, 262144: 485.0, 1048576: 10032.0}
+
+    def compute():
+        out = {"sparse": []}
+        for n in ns:
+            t0 = time.perf_counter()
+            res = run_krylov(n, scale=scale, density=density, grid=True)
+            res["n"] = n
+            res["total_s"] = res["pre_s"] + res["opt_s"]
+            res["reference_total_s"] = reference_totals.get(n)
+            out["sparse"].append(res)
+            if verbose:
+                ref = res["reference_total_s"]
+                speedup = (f", {ref / res['total_s']:.0f}x vs reference "
+                           f"{ref:.0f} s" if ref else "")
+                print(f"sparse n={n}: pre {res['pre_s']:.2f}s "
+                      f"opt {res['opt_s']:.2f}s eta={res['eta']:.3f}"
+                      f"{speedup}")
+        Ns = [r["n"] for r in out["sparse"]]
+        out["sparse_slope"] = log_regression(
+            Ns, [r["total_s"] for r in out["sparse"]])
+        if verbose:
+            print(f"sparse scaling slope: {out['sparse_slope']:.2f} "
+                  f"(reference sparse path: ~1.7)")
+        return out
+
+    return checkpoint.run_or_resume(results_path, compute,
+                                    use_saved=use_saved, verbose=verbose)
 
 
 def main(dense_sides=(23, 27, 32, 45, 54, 64),
@@ -141,8 +192,18 @@ if __name__ == "__main__":
     p.add_argument("--use-saved", action="store_true")
     p.add_argument("--small", action="store_true",
                    help="reduced sizes for smoke runs")
+    p.add_argument("--sparse", action="store_true",
+                   help="the reference's tapered-sparse race "
+                        "(N = 2^16, 2^18, 2^20; rho = 0.005)")
+    p.add_argument("--max-n", type=int, default=None,
+                   help="cap the largest sparse N")
     a = p.parse_args()
-    if a.small:
+    if a.sparse:
+        ns = (65536, 262144, 1048576)
+        if a.max_n:
+            ns = tuple(n for n in ns if n <= a.max_n)
+        main_sparse(ns=ns, use_saved=a.use_saved)
+    elif a.small:
         main(dense_sides=(16, 23, 32), krylov_ns=(4096,),
              use_saved=a.use_saved)
     else:

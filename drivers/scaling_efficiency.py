@@ -63,7 +63,21 @@ def main(n=4096, device_counts=None, verbose=True, comm="ring"):
     if device_counts is None:
         device_counts = [d for d in (1, 2, 4, 8) if d <= nd_avail]
 
-    results = {}
+    # Measurement grade (VERDICT r1/r2): a virtual CPU mesh
+    # (xla_force_host_platform_device_count) validates that the sharded
+    # program compiles, partitions, and stays correct as devices vary —
+    # but its "efficiency" says NOTHING about ICI bandwidth. Only a real
+    # multi-chip slice measures transfer-bound scaling.
+    platform = jax.devices()[0].platform
+    virtual = platform == "cpu"
+    grade = ("correctness-grade (virtual CPU mesh — timings do not "
+             "reflect ICI)" if virtual
+             else f"perf-grade (real {platform} devices)")
+    if verbose:
+        print(f"measurement grade: {grade}")
+
+    results = {"grade": "correctness" if virtual else "perf",
+               "platform": platform}
     t1 = None
     for nd in device_counts:
         t = measure(nd, n, comm=comm)
@@ -73,7 +87,8 @@ def main(n=4096, device_counts=None, verbose=True, comm="ring"):
         results[nd] = {"seconds": t, "efficiency": eff}
         if verbose:
             print(f"{nd} devices: {t * 1e3:.1f} ms/step, "
-                  f"efficiency {eff:.2f}")
+                  f"efficiency {eff:.2f}"
+                  + (" [correctness-grade]" if virtual else ""))
     return results
 
 

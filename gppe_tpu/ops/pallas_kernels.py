@@ -36,22 +36,29 @@ _SUBLANE = 8
 
 DOT_MODES = ("highest", "bf16x3", "bf16")
 
-# Defaults, set from on-chip measurement (v5e-1, n = 100k, r_pad = 128,
-# steady-state ms per fused matvec measured INSIDE a jitted dependent
-# chain — independent repeated calls overlap on the tunneled backend and
-# under-read by ~7x, so these are the honest numbers; see
-# tests/test_kernels.py and BENCH_r03):
+# Defaults, set from on-chip measurement (v5e-1, n = 100k, r = 23 padded
+# to 128 lanes; produced by drivers/profile_pallas_matrix.py, artifact
+# data/pallas_matrix_r3.json, 2026-08-20). "matvec" is steady-state ms
+# INSIDE a jitted dependent chain — independent repeated calls overlap on
+# the tunneled backend and under-read ~7x, so these are the honest
+# numbers. "cold"/"warm" are the full N=100k Krylov-setup constructor in
+# a fresh process with an empty / populated persistent compile cache:
 #
-#   tile  dot_mode   warm ms/matvec   full-constructor cold compile
-#   512   highest        (r1 default — see BENCH table in repo root)
-#   512   bf16x3
-#   1024  highest
-#   1024  bf16x3         (r2 default: pathological compile, reverted)
+#   tile  dot_mode  cold s  warm s  matvec ms  rel-err vs exact XLA
+#   512   highest    39.2     7.2     151.9         1.5e-7
+#   512   bf16x3     68.5     6.3     147.2         4.7e-6
+#   512   bf16       64.2     4.0     111.1         2.2e-3  (eta* off 4%)
+#   1024  highest    57.3     7.3     187.7         1.7e-7
+#   1024  bf16x3     62.5     5.7     152.4         4.7e-6  (r2 default)
+#   1024  bf16       74.1     3.6     113.6         2.2e-3
 #
-# The table is produced by drivers/profile_pallas_matrix.py and the
-# values recorded in BENCH_r03; defaults below follow that data.
+# Conclusion: the matvec is transcendental/VPU-bound, not MXU-bound, so
+# dot_mode barely moves steady state (bf16x3 buys 3% at +29 s cold
+# compile and a non-linear operator; bf16's 2e-3 error visibly shifts
+# the MLE). (512, highest) wins cold compile outright, is exact, and is
+# within 3% of the fastest accurate steady state -> the default.
 DEFAULT_TILE = 512
-DEFAULT_DOT_MODE = "bf16x3"
+DEFAULT_DOT_MODE = "highest"
 
 
 def _tile_dot(k_tile, v, dot_mode: str):
@@ -119,9 +126,9 @@ def _matmat_kernel(pr_ref, pc_ref, v_ref, out_ref, *, nu, d, dot_mode):
 
 
 @functools.partial(jax.jit, static_argnames=("nu", "d", "tile_m", "tile_n",
-                                              "dot_mode"))
+                                              "dot_mode", "interpret"))
 def _matern_matmat_padded(pts_rows, pts_cols_t, V, nu, d, tile_m, tile_n,
-                          dot_mode):
+                          dot_mode, interpret=False):
     """pts_rows: (nr_pad, 8); pts_cols_t: (8, nc_pad); V: (nc_pad, r_pad)."""
     n_pad = pts_rows.shape[0]
     nc_pad = pts_cols_t.shape[1]
@@ -150,11 +157,12 @@ def _matern_matmat_padded(pts_rows, pts_cols_t, V, nu, d, tile_m, tile_n,
             transcendentals=n_pad * nc_pad),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
     )(pts_rows, pts_cols_t, V)
 
 
 def matern_matmat(points, scale, V, nu, tile_m=None, tile_n=None,
-                  points_cols=None, dot_mode=None):
+                  points_cols=None, dot_mode=None, interpret=False):
     """K @ V with K the Matern correlation — fused, K never materialized.
 
     ``points`` are the row points (nr, d); ``points_cols`` defaults to the
@@ -171,7 +179,7 @@ def matern_matmat(points, scale, V, nu, tile_m=None, tile_n=None,
     dot_mode = DEFAULT_DOT_MODE if dot_mode is None else dot_mode
     with jax.enable_x64(False):
         return _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n,
-                                  points_cols, dot_mode)
+                                  points_cols, dot_mode, interpret)
 
 
 def _pad_points(points, n_pad, d):
@@ -185,7 +193,7 @@ def _pad_points(points, n_pad, d):
 
 
 def _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n, points_cols,
-                       dot_mode):
+                       dot_mode, interpret=False):
     points = jnp.asarray(points, dtype=jnp.float32)
     scale = jnp.asarray(scale, dtype=jnp.float32)
     V = jnp.asarray(V, dtype=jnp.float32)
@@ -211,8 +219,129 @@ def _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n, points_cols,
     V_pad = V_pad.at[:nc, :r].set(V)
 
     out = _matern_matmat_padded(pts_rows, pts_cols_t, V_pad, float(nu),
-                                d, tile_m, tile_n, dot_mode)
+                                d, tile_m, tile_n, dot_mode, interpret)
     return out[:nr, :r]
+
+
+def _matern_tile_from_r(r, nu: float):
+    """Matern correlation from the scaled distance r (not squared) — the
+    form used by the multi-rho kernel, where sqrt is hoisted out of the
+    per-rho loop (r_b = r0 / rho_b shares one sqrt across the batch)."""
+    if nu == 0.5:
+        return jnp.exp(-r)
+    if nu == 1.5:
+        s = jnp.sqrt(3.0) * r
+        return (1.0 + s) * jnp.exp(-s)
+    if nu == 2.5:
+        s = jnp.sqrt(5.0) * r
+        return (1.0 + s + (s * s) / 3.0) * jnp.exp(-s)
+    if nu >= 100.0:
+        return jnp.exp(-0.5 * r * r)
+    raise ValueError(
+        f"pallas matern path supports nu in {{0.5, 1.5, 2.5, inf}}; "
+        f"got {nu} (general nu uses the blocked XLA path)")
+
+
+def _multirho_kernel(inv_ref, pr_ref, pc_ref, v_ref, out_ref, *, nu, d,
+                     dot_mode):
+    """One distance tile, B Matern tiles: the (rho_b) batch differs only
+    by a scale on the distance, so the O(TM*TN*d) pairwise work and the
+    sqrt are computed ONCE and each rho pays only one exp + one MXU dot.
+    This is what makes the grid-batched Krylov factorization
+    (models.grid_krylov) matrix-free at the same per-rho cost as the
+    single-kernel matvec."""
+    j = pl.program_id(1)
+    pr = pr_ref[:]            # (TM, 8) raw row points
+    pc = pc_ref[:]            # (8, TN) raw col points (transposed)
+    d2 = jnp.zeros((pr.shape[0], pc.shape[1]), dtype=jnp.float32)
+    for dim in range(d):
+        diff = pr[:, dim:dim + 1] - pc[dim:dim + 1, :]
+        d2 = d2 + diff * diff
+    r0 = jnp.sqrt(d2)
+    first = j == jnp.int32(0)
+    B = v_ref.shape[0]
+    for b in range(B):
+        k_tile = _matern_tile_from_r(r0 * inv_ref[0, b], nu)
+        acc = _tile_dot(k_tile, v_ref[b], dot_mode)
+
+        @pl.when(first)
+        def _(b=b, acc=acc):
+            out_ref[b] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _(b=b, acc=acc):
+            out_ref[b] = out_ref[b] + acc
+
+
+@functools.partial(jax.jit, static_argnames=("nu", "d", "tile", "dot_mode",
+                                              "interpret"))
+def _multirho_padded(inv_rho, pts_rows, pts_cols_t, V, nu, d, tile,
+                     dot_mode, interpret=False):
+    """inv_rho: (1, B); pts_rows: (n_pad, 8); pts_cols_t: (8, n_pad);
+    V: (B, n_pad, r_pad)."""
+    n_pad = pts_rows.shape[0]
+    B, _, r_pad = V.shape
+    grid = (n_pad // tile, n_pad // tile)
+
+    kernel = functools.partial(_multirho_kernel, nu=nu, d=d,
+                               dot_mode=dot_mode)
+    flops = 2 * n_pad * n_pad * (B * r_pad + d + 4)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, _SUBLANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, tile, r_pad), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, tile, r_pad), lambda i, j: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, r_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * n_pad * (B * 2 * r_pad + 16),
+            transcendentals=B * n_pad * n_pad),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(inv_rho, pts_rows, pts_cols_t, V)
+
+
+def matern_matmat_multirho(points, rhos, V, nu, tile=None, dot_mode=None,
+                           interpret=False):
+    """K(rho_b) @ V_b for a batch of isotropic correlation scales, fused.
+
+    ``points``: (n, d) RAW (unscaled) points; ``rhos``: (B,) scalar
+    scales; ``V``: (B, n, r). Returns (B, n, r) float32. The pairwise
+    distance tile is computed once per (i, j) block and shared across the
+    whole rho batch (rho is just a scale on distance), so the marginal
+    cost of each extra grid point is one exp + one (tile x tile x r_pad)
+    MXU dot — the engine of the matrix-free grid-batched Krylov path
+    (models.grid_krylov; the reference rebuilds K per grid point instead,
+    examples/FindOptimalCovarianceParameters.py:87-117).
+    """
+    tile = DEFAULT_TILE if tile is None else tile
+    dot_mode = DEFAULT_DOT_MODE if dot_mode is None else dot_mode
+    with jax.enable_x64(False):
+        points = jnp.asarray(points, dtype=jnp.float32)
+        V = jnp.asarray(V, dtype=jnp.float32)
+        inv = (1.0 / jnp.asarray(rhos, dtype=jnp.float32)).reshape(1, -1)
+        n, d = points.shape
+        B, _, r = V.shape
+        if d > _SUBLANE:
+            raise ValueError(f"pallas path supports dimension <= {_SUBLANE}")
+        n_pad = -(-n // tile) * tile
+        r_pad = max(128, -(-r // 128) * 128)
+        pts8 = _pad_points(points, n_pad, d)
+        V_pad = jnp.zeros((B, n_pad, r_pad), dtype=jnp.float32)
+        V_pad = V_pad.at[:, :n, :r].set(V)
+        out = _multirho_padded(inv, pts8, pts8.T, V_pad, float(nu), d,
+                               tile, dot_mode, interpret)
+        return out[:, :n, :r]
 
 
 def _blocksparse_kernel(pair_i_ref, pair_j_ref, pr_ref, pc_ref, v_ref,
@@ -244,9 +373,10 @@ def _blocksparse_kernel(pair_i_ref, pair_j_ref, pr_ref, pc_ref, v_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nu", "d", "tau", "tile", "dot_mode"))
+                   static_argnames=("nu", "d", "tau", "tile", "dot_mode",
+                                    "interpret"))
 def _blocksparse_padded(pts_rows, pts_cols_t, V, pair_i, pair_j, nu, d,
-                        tau, tile, dot_mode):
+                        tau, tile, dot_mode, interpret=False):
     n_pad = pts_rows.shape[0]
     r_pad = V.shape[1]
     num_pairs = pair_i.shape[0]
@@ -276,11 +406,12 @@ def _blocksparse_padded(pts_rows, pts_cols_t, V, pair_i, pair_j, nu, d,
             flops=flops,
             bytes_accessed=4 * num_pairs * tile * (2 * r_pad + 16),
             transcendentals=num_pairs * tile * tile),
+        interpret=interpret,
     )(pair_i, pair_j, pts_rows, pts_cols_t, V)
 
 
 def matern_matmat_blocksparse(points_sorted, V, nu, tau, pair_i, pair_j,
-                              tile, dot_mode=None):
+                              tile, dot_mode=None, interpret=False):
     """Tapered (block-sparse) K @ V over active tile pairs only.
 
     ``points_sorted``: (n_pad, d) spatially sorted, *already scaled*
@@ -304,5 +435,5 @@ def matern_matmat_blocksparse(points_sorted, V, nu, tau, pair_i, pair_j,
             pts8, pts8.T, V_pad,
             jnp.asarray(pair_i, dtype=jnp.int32),
             jnp.asarray(pair_j, dtype=jnp.int32),
-            float(nu), d, float(tau), int(tile), dot_mode)
+            float(nu), d, float(tau), int(tile), dot_mode, interpret)
         return out[:, :r]

