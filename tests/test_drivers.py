@@ -157,3 +157,33 @@ def test_sample_posterior_driver(tmp_path):
                    verbose=False)
     assert res["samples"].shape == (50, 2, 2)
     assert np.isfinite(res["posterior_mean_log10_eta"])
+
+
+def test_docs_and_packaging_infra():
+    """The docs/packaging layer (reference docs/conf.py, conda/meta.yaml,
+    tox.ini — SURVEY §2 #26): conf.py parses and points at real sources,
+    the toctree entries exist, and the conda recipe names the package.
+    (sphinx itself is not in the benchmark image; CI's docs job runs the
+    actual build.)"""
+    import ast
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    conf = os.path.join(root, "docs", "conf.py")
+    tree = ast.parse(open(conf).read())          # syntax-valid
+    names = {t.targets[0].id for t in tree.body
+             if isinstance(t, ast.Assign)
+             and isinstance(t.targets[0], ast.Name)}
+    assert {"project", "extensions", "source_suffix",
+            "master_doc"} <= names
+
+    index = open(os.path.join(root, "docs", "index.md")).read()
+    for entry in re.findall(r"^(QUICKSTART|API|ARCHITECTURE)$", index,
+                            re.M):
+        assert os.path.exists(os.path.join(root, "docs", entry + ".md"))
+
+    meta = open(os.path.join(root, "conda", "meta.yaml")).read()
+    assert "name: gppe-tpu" in meta and "jax" in meta
+    tox = open(os.path.join(root, "tox.ini")).read()
+    assert "docs" in tox and "pytest" in tox

@@ -172,3 +172,45 @@ def test_optimal_covariance_map_matches_golden():
         log_post = (lik + float(inverse_square_log_prior(rho))
                     + float(inverse_square_log_prior(nu, scale=25.0)))
         assert log_post + const == pytest.approx(Lp[i, j], abs=5e-3), (i, j)
+
+
+@requires_goldens
+def test_grid_krylov_resolves_golden_ridge():
+    """The grid-batched Krylov surface vs the golden no-prior ridge
+    (VERDICT r2 item 5 'done' criterion). The golden surface
+    (OptimalCovariance_WithoutPrior.pickle) is flat to < 0.2 nat over
+    the whole ridge region, so 'resolving the argmax' statistically
+    means: every surface value within ~0.1 nat of golden AND the
+    engine's argmax golden-value within the ridge's own flatness of the
+    true max. The grid engine shares ONE probe set across all grid
+    points, so its SLQ noise is strongly correlated along the surface —
+    surface DIFFERENCES (which drive the argmax) are more accurate than
+    the absolute values."""
+    from gppe_tpu.models.grid_krylov import GridKrylovProfileLikelihood
+
+    ref = _load("OptimalCovariance_WithoutPrior.pickle")
+    rho_grid = np.asarray(ref["DecorrelationScale"])
+    nu_grid = np.asarray(ref["nu"])
+    Lp = np.asarray(ref["Lp"])
+
+    pts = data_utils.generate_points(30, dimension=2)   # n = 900 grid
+    z = data_utils.generate_data(pts, 0.2)
+    X = data_utils.generate_basis_functions(pts, 2)
+    ii = [10, 15, 20, 25, 30]       # rho 0.133 .. 0.2 (golden argmax i=20)
+    jj = [20, 40, 59]               # nu 9.1, 17.3, 25.0 (argmax j=59)
+    I, J = np.meshgrid(ii, jj, indexing="ij")
+    rhos = rho_grid[I.ravel()]
+    nus = nu_grid[J.ravel()]
+
+    g = GridKrylovProfileLikelihood(pts, X, z, rhos, nus,
+                                    lanczos_steps=60, num_probes=32)
+    results = g.fit_all()
+    # the Krylov engine's profile lp follows the legacy golden's
+    # convention (the (n-m)/2 log 2pi constant omitted) — direct compare
+    got = np.array([r["lp"] for r in results])
+    want = Lp[I.ravel(), J.ravel()]
+    np.testing.assert_allclose(got, want, atol=0.15)
+
+    # argmax: within the ridge's flatness of the golden max on this grid
+    gap = want.max() - want[int(np.argmax(got))]
+    assert gap <= 0.05, (gap, got, want)
