@@ -146,14 +146,19 @@ def _factorize_common(points, rhos, nus, AB, k, s, bmv, tk2):
                                           reorthogonalize=True)
     alphas = alphas.reshape(B, r, k)
     betas = betas.reshape(B, r, k - 1)
-    Vb = V.reshape(k, n, B, r)
-    Vs = Vb[:, :, :, :s]                            # (k, n, B, s)
-    U = jnp.einsum("knbj,nt->bjkt", Vs, AB[:, :s], precision="highest")
-    Vm = jnp.transpose(Vs, (2, 3, 0, 1)).reshape(B, s * k, n)
-    G = jnp.matmul(Vm, jnp.transpose(Vm, (0, 2, 1)), precision="highest")
+    Vb = V.reshape(k, B, r, n)
+    Vs = Vb[:, :, :s]                               # (k, B, s, n)
+    # f64-accumulated projections (see stochastic.gram_f64/matmul_f64):
+    # f32 O(n) reductions would bias the per-eta math by ~sqrt(n)*eps
+    U = stochastic.matmul_f64(
+        Vs.reshape(k * B * s, n), AB[:, :s]).reshape(
+        k, B, s, s).transpose(1, 2, 0, 3)           # (B, j, k, t)
+    Vm = jnp.transpose(Vs, (1, 2, 0, 3)).reshape(B, s * k, n)
+    G = jax.vmap(stochastic.gram_f64)(Vm)
     G = G.reshape(B, s, k, s, k).transpose(0, 1, 3, 2, 4)
-    P = jnp.einsum("knb,np->bkp", Vb[:, :, :, s], AB[:, s + 1:],
-                   precision="highest")
+    P = stochastic.matmul_f64(
+        Vb[:, :, s].reshape(k * B, n), AB[:, s + 1:]).reshape(
+        k, B, -1).transpose(1, 0, 2)                # (B, k, p)
     return alphas, betas, U, G, P, tk2()
 
 

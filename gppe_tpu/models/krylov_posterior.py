@@ -76,18 +76,63 @@ def _factorize_node(points, scale, AB, k, s, nu, use_pallas, block_rows):
 
     alphas, betas, V = stochastic.lanczos(matvec, AB, k,
                                           reorthogonalize=True)
-    Vs = V[:, :, :s]
-    U = jnp.einsum("knj,nt->jkt", Vs, AB[:, :s], precision="highest")
-    Vm = jnp.transpose(Vs, (2, 0, 1)).reshape(s * k, -1)
-    G = jnp.matmul(Vm, Vm.T, precision="highest").reshape(
+    # f64-accumulated projections (stochastic.gram_f64/matmul_f64):
+    # f32 O(n) reductions bias the Ritz math by ~sqrt(n)*eps
+    Vs = V[:, :s]                                   # (k, s, n)
+    n_ = Vs.shape[-1]
+    U = stochastic.matmul_f64(
+        Vs.reshape(k * s, n_), AB[:, :s]).reshape(
+        k, s, s).transpose(1, 0, 2)
+    Vm = jnp.transpose(Vs, (1, 0, 2)).reshape(s * k, -1)
+    G = stochastic.gram_f64(Vm).reshape(
         s, k, s, k).transpose(0, 2, 1, 3)
     # probe overlaps with the deflation chain's basis (column s):
     # P[a, i] = V_defl[a] . probe_i — the one-pass deflation inputs
-    P = jnp.einsum("kn,np->kp", V[:, :, s], AB[:, s + 1:],
-                   precision="highest")
+    P = stochastic.matmul_f64(V[:, s], AB[:, s + 1:])
     tK2 = operators._matern_frobenius2_blocked(points, scale, nu,
                                                block_rows)
     return alphas, betas, U, G, P, tK2
+
+
+def _cholesky_solve_small(A, b):
+    """Batched SPD solve A x = b + log det A via an unrolled Cholesky.
+
+    ``A``: (..., m, m) SPD with m small and STATIC (the basis Gram of
+    the mean model, m ~ 6); ``b``: (..., m). Returns (x, logdet).
+    Written as plain jnp arithmetic with Python loops over m so it
+    lowers on any backend in any dtype — TPU's LU/Cholesky kernels are
+    f32-only, and this path runs in f64 (see _node_stats).
+    """
+    m = A.shape[-1]
+    cols = []
+    for j in range(m):
+        prev = [cols[i][..., j] for i in range(j)]
+        d = A[..., j, j] - sum((p * p for p in prev),
+                               jnp.zeros_like(A[..., j, j]))
+        d = jnp.sqrt(d)
+        col = [jnp.zeros_like(d)] * j + [d]
+        for r in range(j + 1, m):
+            off = A[..., r, j]
+            for i in range(j):
+                off = off - cols[i][..., r] * cols[i][..., j]
+            col.append(off / d)
+        cols.append(jnp.stack(col, axis=-1))    # (..., m) column j of L
+    logdet = 2.0 * sum(jnp.log(cols[j][..., j]) for j in range(m))
+    # forward substitution L y = b
+    y = []
+    for j in range(m):
+        v = b[..., j]
+        for i in range(j):
+            v = v - cols[i][..., j] * y[i]
+        y.append(v / cols[j][..., j])
+    # back substitution L^T x = y
+    x = [None] * m
+    for j in range(m - 1, -1, -1):
+        v = y[j]
+        for i in range(j + 1, m):
+            v = v - cols[j][..., i] * x[i]
+        x[j] = v / cols[j][..., j]
+    return jnp.stack(x, axis=-1), logdet
 
 
 def _chebyshev_lobatto(lo, hi, num):
@@ -303,7 +348,14 @@ class KrylovPosteriorSurface:
     # -- per-eval math (jittable, autodiff) -------------------------------
 
     def _node_stats(self, eta):
-        """Per-node ingredients at one eta. All (B, ...) batched."""
+        """Per-node ingredients at one eta. All (B, ...) batched.
+
+        The m x m SPD solve and its logdet run through an UNROLLED
+        pure-jnp Cholesky (:func:`_cholesky_solve_small`): TPU implements
+        LU/Cholesky lowering only for f32, and these constants are f64
+        (the accumulated-precision policy, ops.stochastic.gram_f64) —
+        plain unrolled arithmetic is dtype-agnostic, differentiable, and
+        for m ~ 6 faster than a batched LAPACK-style kernel anyway."""
         n, m = self.n, self.m
         c1 = self._e1w / (self._lam_s + eta)                  # (B, s, k)
         Cm = jnp.einsum("bjkt,bjk->btj", self._Ut, c1)        # (B, s, s)
@@ -311,9 +363,8 @@ class KrylovPosteriorSurface:
         Bm = 0.5 * (Bm + jnp.swapaxes(Bm, 1, 2))              # (B, m, m)
         Ytz = Cm[:, 0, 1:]                                    # (B, m)
         zw = Cm[:, 0, 0]
-        c = jnp.linalg.solve(Bm, Ytz[..., None])[..., 0]      # (B, m)
+        c, logdet_B = _cholesky_solve_small(Bm, Ytz)
         zMz = zw - jnp.einsum("bm,bm->b", Ytz, c)
-        sign, logdet_B = jnp.linalg.slogdet(Bm)
         # SLQ logdet of Kn: fixed deflated-CV quadrature (see _build_ritz)
         logdet_Kn = jnp.sum(
             self._qweights
@@ -414,11 +465,13 @@ def _factorize_operator(op, AB, k, s):
     matvec = op.matmat if hasattr(op, "matmat") else (lambda W: op @ W)
     alphas, betas, V = stochastic.lanczos(matvec, AB, k,
                                           reorthogonalize=True)
-    Vs = V[:, :, :s]
-    U = jnp.einsum("knj,nt->jkt", Vs, AB[:, :s], precision="highest")
-    Vm = jnp.transpose(Vs, (2, 0, 1)).reshape(s * k, -1)
-    G = jnp.matmul(Vm, Vm.T, precision="highest").reshape(
+    Vs = V[:, :s]                                   # (k, s, n)
+    n_ = Vs.shape[-1]
+    U = stochastic.matmul_f64(
+        Vs.reshape(k * s, n_), AB[:, :s]).reshape(
+        k, s, s).transpose(1, 0, 2)
+    Vm = jnp.transpose(Vs, (1, 0, 2)).reshape(s * k, -1)
+    G = stochastic.gram_f64(Vm).reshape(
         s, k, s, k).transpose(0, 2, 1, 3)
-    P = jnp.einsum("kn,np->kp", V[:, :, s], AB[:, s + 1:],
-                   precision="highest")
+    P = stochastic.matmul_f64(V[:, s], AB[:, s + 1:])
     return alphas, betas, U, G, P

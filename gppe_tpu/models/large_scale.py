@@ -102,13 +102,18 @@ class KrylovProfileLikelihood:
         #   U[j, :, t] = V_j . a_t            (s, k, s)
         #   G[i, j, a, b] = V_i[a] . V_j[b]   (s, s, k, k)
         #   P[a, i] = V_defl[a] . probe_i     (k, p)
-        Vs = V[:, :, :self.s]
-        U = jnp.einsum("knj,nt->jkt", Vs, A_dev,
-                       precision="highest")
-        Vm = jnp.transpose(Vs, (2, 0, 1)).reshape(self.s * self.k, self.n)
-        G = jnp.matmul(Vm, Vm.T, precision="highest")
-        P = jnp.einsum("kn,np->kp", V[:, :, self.s], probes,
-                       precision="highest")
+        # f64 accumulation (stochastic.gram_f64 / project_f64): straight
+        # f32 O(n) reductions inject a systematic ~sqrt(n)*eps error into
+        # the per-eta quantities — the same bias mechanism the Lanczos
+        # coefficients suffer (see lanczos precise_sums); measured der1
+        # bias 0.5 at n = 16384 before the fix, < 1e-2 after.
+        Vs = V[:, :self.s]                       # (k, s, n)
+        U = stochastic.matmul_f64(
+            Vs.reshape(self.k * self.s, self.n), A_dev).reshape(
+            self.k, self.s, self.s).transpose(1, 0, 2)      # (j, k, t)
+        Vm = jnp.transpose(Vs, (1, 0, 2)).reshape(self.s * self.k, self.n)
+        G = stochastic.gram_f64(Vm)
+        P = stochastic.matmul_f64(V[:, self.s], probes)     # (k, p)
         self.U = np.asarray(U, dtype=np.float64)
         self.G = np.asarray(G, dtype=np.float64).reshape(
             self.s, self.k, self.s, self.k).transpose(0, 2, 1, 3)

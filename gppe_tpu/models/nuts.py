@@ -430,3 +430,47 @@ def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
     if u_to_theta is not None:
         res = res._replace(samples=u_to_theta(res.samples))
     return res
+
+
+def sample_posterior_large(points, z, X, nu=0.5, num_chains=64,
+                           num_samples=500, num_warmup=300, max_depth=8,
+                           key=0, log_prior=None, mesh=None,
+                           log10_eta_bounds=(-3.0, 3.0),
+                           log10_rho_bounds=(-1.5, -0.5),
+                           surface=None, surface_kwargs=None,
+                           verbose=False):
+    """NUTS posterior over (log10 eta, log10 rho) at LARGE N — BASELINE
+    config 5 verbatim ("NUTS, hundreds of chains, N ~ 10^5-2*10^5";
+    reference outer-loop counterpart:
+    examples/FindOptimalCovarianceParameters.py:632-702).
+
+    The target is the amortized matrix-free Krylov surface
+    (models.krylov_posterior.KrylovPosteriorSurface): all O(n) work runs
+    once at construction; every tree leaf afterwards is tiny Ritz math,
+    so the adaptive trajectories cost the same as at n = 400. Returns
+    ``(NUTSResult, surface)`` — reuse the surface to draw more samples
+    without paying the setup again. Sampling runs in unconstrained
+    sigmoid coordinates over the (log10_eta_bounds x log10_rho_bounds)
+    box (rho cannot leave the surface's interpolated node range)."""
+    from .krylov_posterior import KrylovPosteriorSurface
+
+    if surface is None:
+        surface = KrylovPosteriorSurface(
+            points, z, X, nu=nu, log10_rho_bounds=log10_rho_bounds,
+            verbose=verbose, **(surface_kwargs or {}))
+    log_post, u_to_theta = surface.make_bounded_log_posterior(
+        log10_eta_bounds=log10_eta_bounds, log_prior=log_prior)
+
+    rng = jax.random.PRNGKey(key)
+    k_init, k_run = jax.random.split(rng)
+    init = 0.5 * jax.random.normal(k_init, (num_chains, 2),
+                                   dtype=jnp.float64)
+    if mesh is not None:
+        from ..parallel.mesh import PROBE_AXIS
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(PROBE_AXIS, None))
+        init = jax.device_put(init, sharding)
+
+    res = nuts_sample(log_post, init, k_run, num_samples=num_samples,
+                      num_warmup=num_warmup, max_depth=max_depth)
+    return res._replace(samples=u_to_theta(res.samples)), surface

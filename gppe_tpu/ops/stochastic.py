@@ -35,52 +35,150 @@ def _as_matvec(K):
     return lambda V: jnp.matmul(K, V, precision="highest")
 
 
-@partial(jax.jit, static_argnames=("matvec", "num_steps", "reorthogonalize"))
-def lanczos(matvec, V0, num_steps, reorthogonalize=True):
+@partial(jax.jit, static_argnames=("matvec", "num_steps", "reorthogonalize",
+                                   "precise_sums"))
+def lanczos(matvec, V0, num_steps, reorthogonalize=True,
+            precise_sums=None):
     """Batched Lanczos tridiagonalization.
 
     ``V0``: (n, p) starting block (columns are independent runs).
-    Returns (alphas (p, k), betas (p, k-1), V (k, n, p)) with V the
+    Returns (alphas (p, k), betas (p, k-1), V (k, p, n)) with V the
     orthonormal Lanczos bases (needed for solve-reuse; slice [:0] if not).
+    V's LAYOUT puts n last deliberately: TPU pads the minor dimension to
+    the 128-lane tile, so a (k, n, p) stack with p ~ 24 would allocate
+    128/24 = 5.3x its logical size — 34 GB instead of 6.4 GB at
+    n = 2^20, k = 64 (the 2^20 OOM this fixed). n in lanes pads by
+    < 1 tile.
 
     Full reorthogonalization (Gram-Schmidt against all previous vectors,
     batched as (k, n, p) tensor contractions) is on by default — in f32 on
     TPU, loss of orthogonality otherwise corrupts the Ritz spectrum.
+
+    ``precise_sums`` (default: on when jax x64 is enabled): accumulate the
+    tridiagonal coefficients alpha = q.w and beta = |w| in float64. The
+    O(n) f32 reductions carry ~sqrt(n)*eps relative noise (~1e-4 at
+    n = 10^5) which enters T *systematically*; the Gauss-quadrature
+    traces inherit it as a BIAS that no probe count removes — measured
+    der1 bias 0.5 at n = 16384 f32 vs < 1e-3 with f64 sums (the exact
+    spectral oracle). The vectors and the matvec stay in f32; the f64
+    work is two O(n p) reductions per step — invisible next to the
+    O(n^2 p) matvec.
     """
     n, p = V0.shape
     dtype = V0.dtype
     k = num_steps
+    if precise_sums is None:
+        precise_sums = jax.config.jax_enable_x64
+    sum_dt = jnp.float64 if precise_sums else dtype
 
-    nrm0 = jnp.linalg.norm(V0, axis=0)
-    q = V0 / nrm0
-    V = jnp.zeros((k, n, p), dtype=dtype)
+    def _dot_rows(a, b):
+        """Per-row a.b (over n) in the accumulation dtype."""
+        return jnp.sum((a * b).astype(sum_dt), axis=1)
+
+    # The whole iteration runs in (p, n) orientation — n minor — so the
+    # basis stack V and every buffer feeding it tile n onto the 128
+    # lanes. (Feeding V from per-step (n, p)->T transposes made XLA's
+    # layout assignment pick p-minor for the stack, re-inflating it
+    # 128/p x.) Only the matvec boundary transposes, once per step.
+    q = jnp.transpose(V0)                               # (p, n)
+    nrm0 = jnp.sqrt(_dot_rows(q, q))
+    q = q / nrm0.astype(dtype)[:, None]
+    V = jnp.zeros((k, p, n), dtype=dtype)
     V = V.at[0].set(q)
-    alphas = jnp.zeros((p, k), dtype=dtype)
-    betas = jnp.zeros((p, k - 1), dtype=dtype)
+    alphas = jnp.zeros((p, k), dtype=sum_dt)
+    betas = jnp.zeros((p, k - 1), dtype=sum_dt)
 
     def body(j, carry):
         V, alphas, betas, q, q_prev, beta_prev = carry
-        w = matvec(q)                                   # (n, p)
-        alpha = jnp.sum(q * w, axis=0)                  # (p,)
-        w = w - alpha[None, :] * q - beta_prev[None, :] * q_prev
+        # pin the vector dtype: an operator that promotes (e.g. a f64
+        # dense matrix under x64) must not flip the f32 iteration
+        w = jnp.transpose(matvec(jnp.transpose(q)).astype(dtype))  # (p, n)
+        alpha = _dot_rows(q, w)                         # (p,) f64
+        w = (w - alpha.astype(dtype)[:, None] * q
+             - beta_prev[:, None] * q_prev)
         if reorthogonalize:
             # w -= V_i (V_i . w) for all i <= j (masked): einsum over k
             mask = (jnp.arange(k) <= j).astype(dtype)   # (k,)
-            coeffs = jnp.einsum("inp,np->ip", V, w) * mask[:, None]
-            w = w - jnp.einsum("inp,ip->np", V, coeffs)
-        beta = jnp.linalg.norm(w, axis=0)
-        beta_safe = jnp.where(beta > 0, beta, 1.0)
-        q_next = w / beta_safe
+            coeffs = jnp.einsum("ipn,pn->ip", V, w) * mask[:, None]
+            w = w - jnp.einsum("ipn,ip->pn", V, coeffs)
+        beta = jnp.sqrt(_dot_rows(w, w))
+        beta_safe = jnp.where(beta > 0, beta, 1.0).astype(dtype)
+        q_next = w / beta_safe[:, None]
         V = V.at[j + 1].set(jnp.where(j + 1 < k, q_next, V[j + 1]))
         alphas = alphas.at[:, j].set(alpha)
         betas = jax.lax.cond(
             j < k - 1, lambda b: b.at[:, j].set(beta), lambda b: b, betas)
-        return (V, alphas, betas, q_next, q, beta)
+        return (V, alphas, betas, q_next, q, beta.astype(dtype))
 
-    init = (V, alphas, betas, q, jnp.zeros_like(q), jnp.zeros(p, dtype=dtype))
+    init = (V, alphas, betas, q, jnp.zeros_like(q),
+            jnp.zeros(p, dtype=dtype))
     V, alphas, betas, q, q_prev, beta_prev = jax.lax.fori_loop(
         0, k, body, init)
     return alphas, betas, V
+
+
+def gram_f64(Vm, block=8192):
+    """Vm @ Vm.T with float64 accumulation from f32 block products.
+
+    The Krylov engines' per-eta math consumes Gram matrices of O(n)
+    vectors; a straight f32 matmul's accumulated rounding (~sqrt(n)*eps)
+    enters the profile derivative as a systematic error (same mechanism
+    as the Lanczos-coefficient bias, see :func:`lanczos` precise_sums).
+    Full f64 matmul is 10-20x emulation cost on TPU; f32 MXU products
+    over n-blocks summed in f64 keep the error at the sqrt(block)*eps
+    level for ~zero extra time."""
+    if not jax.config.jax_enable_x64:
+        return jnp.matmul(Vm, Vm.T, precision="highest")
+    m, n = Vm.shape
+    if n <= block:
+        return jnp.matmul(Vm, Vm.T,
+                          precision="highest").astype(jnp.float64)
+    nb = -(-n // block)
+    Vp = jnp.pad(Vm, ((0, 0), (0, nb * block - n)))
+    chunks = jnp.transpose(Vp.reshape(m, nb, block), (1, 0, 2))
+
+    def body(acc, C):
+        g = jnp.matmul(C, C.T, precision="highest")
+        return acc + g.astype(jnp.float64), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((m, m), jnp.float64), chunks)
+    return out
+
+
+def matmul_f64(A, B, block=8192):
+    """A (m, n) @ B (n, t) with float64 accumulation, TPU-safe.
+
+    Same precision rationale as :func:`gram_f64`. On TPU a native f64
+    dot is EMULATED by materializing the full (m, n, t)-ish outer
+    product before reducing — 16 GB of HLO temp for the (448, 2^20) x
+    (2^20, 7) projection — so the f64 form is computed as f32 MXU
+    products over n-blocks summed in f64 instead. On CPU (native f64
+    units) it is a plain f64 matmul."""
+    if not jax.config.jax_enable_x64:
+        return jnp.matmul(A, B, precision="highest")
+    from ..utils.config import is_tpu
+    if not is_tpu():
+        return jnp.matmul(A.astype(jnp.float64), B.astype(jnp.float64),
+                          precision="highest")
+    A = A.astype(jnp.float32)
+    B = B.astype(jnp.float32)
+    m, n = A.shape
+    t = B.shape[1]
+    if n <= block:
+        return jnp.matmul(A, B, precision="highest").astype(jnp.float64)
+    nb = -(-n // block)
+    Ap = jnp.pad(A, ((0, 0), (0, nb * block - n)))
+    Bp = jnp.pad(B, ((0, nb * block - n), (0, 0)))
+    Ac = jnp.transpose(Ap.reshape(m, nb, block), (1, 0, 2))
+    Bc = Bp.reshape(nb, block, t)
+
+    def body(acc, ab):
+        a, b = ab
+        return acc + jnp.matmul(a, b,
+                                precision="highest").astype(jnp.float64), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((m, t), jnp.float64), (Ac, Bc))
+    return out
 
 
 def ritz_decompose(alphas, betas):
@@ -183,7 +281,7 @@ class StochasticTraceEngine:
                 Uk = jnp.asarray(np.asarray(U[:, keep]), dtype=dtype)
                 # Ritz vectors W = sum_k V_d[k] U[k, :]  -> (n, q),
                 # re-orthonormalized (they are approximate)
-                W = jnp.einsum("kn,kq->nq", Vd[:, :, 0], Uk)
+                W = jnp.einsum("kn,kq->nq", Vd[:, 0], Uk)
                 W, _ = jnp.linalg.qr(W)
         self.W = W
 

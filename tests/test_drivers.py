@@ -103,8 +103,11 @@ def test_find_optimal_covariance_four_param_consistency(tmp_path):
 def test_scaling_efficiency_driver():
     from drivers import scaling_efficiency as drv
     res = drv.main(n=256, device_counts=[1, 2], verbose=False)
-    assert set(res) == {1, 2}
+    assert set(res) == {1, 2, "grade", "platform"}
     assert res[2]["seconds"] > 0
+    # virtual CPU mesh timings must be stamped correctness-grade
+    # (VERDICT r2 item 9)
+    assert res["grade"] == "correctness"
 
 
 def test_gcv_recovers_noise():

@@ -130,3 +130,24 @@ def test_operator_factory_path(dataset):
     a = float(surf.profile_loglik(0.5, -1.0))
     b = float(lp_dense(0.5, -1.0))
     assert abs(a - b) < 0.5
+
+
+def test_nuts_large_path_moments(dataset, surface):
+    """NUTS on the amortized surface (BASELINE config 5 verbatim:
+    adaptive trajectories at large N): healthy acceptance statistic,
+    moments consistent with the HMC large path and the profile MLE."""
+    from gppe_tpu.models import nuts
+
+    pts, z, X = dataset
+    res, _ = nuts.sample_posterior_large(
+        pts, z, X, surface=surface, num_chains=8, num_samples=120,
+        num_warmup=120, max_depth=7,
+        log10_eta_bounds=(-2.0, 3.0), key=4)
+    acc = float(np.asarray(res.accept_rate).mean())
+    assert 0.6 < acc <= 1.0
+    assert float(np.asarray(res.mean_tree_depth).mean()) >= 1.0
+    s = np.asarray(res.samples).reshape(-1, 2)
+    mean, std = s.mean(axis=0), s.std(axis=0)
+    assert abs(mean[0] - 1.2) < 1.5 * max(std[0], 0.3)
+    assert -1.5 < mean[1] < -0.5
+    assert int(np.asarray(res.divergences).sum()) == 0
