@@ -200,17 +200,14 @@ def bench_hmc_sweep(chain_counts=(8, 64, 256), n_side=30,
                     "accept_rate": float(np.mean(
                         np.asarray(res.accept_rate)))})
 
-    # dense-target anchor (8 chains): cross-method moment check
-    from gppe_tpu.models import priors
-
-    def log_prior(eta, rho):
-        return (priors.uniform_log_prior(eta, (1e-3, 1e4))
-                + priors.uniform_log_prior(rho, (0.02, 0.6)))
-
-    support = ((np.log10(1e-3), np.log10(1e4)),
-               (np.log10(0.02), np.log10(0.6)))
+    # dense-target anchor (8 chains): cross-method moment check. Same
+    # posterior as the surface rows: flat in log10(eta, rho) inside the
+    # support box (a uniform-in-LINEAR-eta prior would put mass ~ eta in
+    # log space and drag the mean up the flat high-eta profile tail —
+    # the two targets must disagree only by their lp approximation).
+    support = ((-3.0, 4.0), (-1.5, -0.5))   # the surface rows' box
     kwargs = dict(nu=0.5, num_chains=8, num_samples=num_samples,
-                  num_warmup=num_warmup, key=0, log_prior=log_prior,
+                  num_warmup=num_warmup, key=0, log_prior=None,
                   support_log10=support)
     res = hmc.sample_posterior(pts, z, X, **kwargs)
     jax.block_until_ready(res.samples)

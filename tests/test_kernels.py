@@ -103,3 +103,34 @@ def test_generate_correlation_facade():
     K = np.asarray(assembly.generate_correlation(pts, 0.2, nu=2.5))
     assert K.shape == (30, 30)
     np.testing.assert_allclose(np.diag(K), 1.0, atol=1e-12)
+
+
+def test_bf16x3_symmetry():
+    """dot_mode='bf16x3' rounds the operand (v_hi/v_lo split), so
+    v -> K@v is not exactly linear and u.(Kv) != v.(Ku) at ~1e-6
+    (ADVICE r2: bound the effect and keep the exact default covered).
+    'highest' must be symmetric to f32 roundoff."""
+    import jax.numpy as jnp
+
+    from gppe_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.RandomState(9)
+    pts = np.asarray(rng.rand(128, 2), np.float32)
+    u = np.asarray(rng.standard_normal((128, 1)), np.float32)
+    v = np.asarray(rng.standard_normal((128, 1)), np.float32)
+
+    def pairing(dot_mode):
+        Ku = pk.matern_matmat(pts, 0.1, u, 0.5, tile_m=128, tile_n=128,
+                              dot_mode=dot_mode, interpret=True)
+        Kv = pk.matern_matmat(pts, 0.1, v, 0.5, tile_m=128, tile_n=128,
+                              dot_mode=dot_mode, interpret=True)
+        a = float(jnp.vdot(jnp.asarray(u), Kv))
+        b = float(jnp.vdot(jnp.asarray(v), Ku))
+        return a, b
+
+    a, b = pairing("highest")
+    scale = max(abs(a), 1.0)
+    assert abs(a - b) / scale < 1e-6          # exact mode: symmetric
+    a3, b3 = pairing("bf16x3")
+    assert abs(a3 - b3) / scale < 1e-4        # compensated: bounded skew
+    assert abs(a3 - a) / scale < 1e-4         # and accurate vs exact
