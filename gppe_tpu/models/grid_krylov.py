@@ -198,6 +198,8 @@ class GridKrylovProfileLikelihood:
 
         A = np.concatenate([z[:, None], X], axis=1)
         self.rhs_norms = np.linalg.norm(A, axis=0)
+        AtA = A.T @ A       # exact eta->inf OLS boundary (shared by all
+        # grid points: the data never changes, only the kernel)
         k_probe, k_defl = jax.random.split(jax.random.PRNGKey(key))
         probes = jax.random.rademacher(
             k_probe, (self.n, num_probes), dtype=dtype)
@@ -264,7 +266,7 @@ class GridKrylovProfileLikelihood:
                 self.engines.append(
                     KrylovProfileLikelihood.from_factorization(
                         al[i, :self.s], be[i, :self.s], U[i], G[i],
-                        self.rhs_norms, traces, self.n, self.m))
+                        self.rhs_norms, traces, self.n, self.m, AtA=AtA))
 
     def fit_all(self, interval_eta=(1e-4, 1e3), tol=1e-6, verbose=False):
         """Profile-MLE every grid point; returns a list of result dicts

@@ -75,6 +75,10 @@ class KrylovProfileLikelihood:
         # Augmented RHS block [z, X]
         A = np.concatenate([z[:, None], X], axis=1)
         self.rhs_norms = np.linalg.norm(A, axis=0)
+        # raw data Gram [[z'z, z'X], [X'z, X'X]] (f64 host, O(n s^2)):
+        # the exact eta->inf boundary needs the OLS residual, which no
+        # Krylov solve at huge eta can supply trustworthily
+        self.AtA = A.T @ A
         A_dev = jnp.asarray(A, dtype=dtype)
 
         matvec = operator.matmat if hasattr(operator, "matmat") else (
@@ -102,7 +106,7 @@ class KrylovProfileLikelihood:
         #   U[j, :, t] = V_j . a_t            (s, k, s)
         #   G[i, j, a, b] = V_i[a] . V_j[b]   (s, s, k, k)
         #   P[a, i] = V_defl[a] . probe_i     (k, p)
-        # f64 accumulation (stochastic.gram_f64 / project_f64): straight
+        # f64 accumulation (stochastic.gram_f64 / matmul_f64): straight
         # f32 O(n) reductions inject a systematic ~sqrt(n)*eps error into
         # the per-eta quantities — the same bias mechanism the Lanczos
         # coefficients suffer (see lanczos precise_sums); measured der1
@@ -133,7 +137,7 @@ class KrylovProfileLikelihood:
 
     @classmethod
     def from_factorization(cls, alphas, betas, U, G, rhs_norms, traces,
-                           n, m):
+                           n, m, AtA=None):
         """Build the per-eta host engine from an externally computed
         Krylov factorization (the grid-batched path, models.grid_krylov:
         one batched Lanczos pass factorizes a whole (rho, nu) chunk; each
@@ -142,7 +146,8 @@ class KrylovProfileLikelihood:
         ``alphas``/``betas``: (s, k)/(s, k-1) solve-block tridiagonals;
         ``U``: (s, k, s) basis-RHS projections; ``G``: (s, s, k, k) basis
         Grams; ``rhs_norms``: (s,); ``traces``: a StochasticTraceEngine
-        (e.g. from_tridiagonals).
+        (e.g. from_tridiagonals); ``AtA``: optional (s, s) raw data Gram
+        of [z, X] — enables the exact eta->inf OLS boundary.
         """
         self = cls.__new__(cls)
         self.n = int(n)
@@ -155,6 +160,8 @@ class KrylovProfileLikelihood:
         self.G = np.asarray(G, dtype=np.float64)
         self.rhs_norms = np.asarray(rhs_norms, dtype=np.float64)
         self.traces = traces
+        self.AtA = None if AtA is None else np.asarray(AtA,
+                                                       dtype=np.float64)
         return self
 
     # -- per-eta small math ----------------------------------------------
@@ -314,7 +321,7 @@ class KrylovProfileLikelihood:
                     print(f"dense-scan bracket: {bracket} -> {fvals}")
         if found:
             # host-side Chandrupatla on the f64 scalar function
-            root, iters = _chandrupatla_scalar(
+            root, iters = root_finding.chandrupatla_scalar(
                 self.der1, bracket[0], bracket[1], fvals[0], fvals[1],
                 tol=tol, max_iter=max_iterations)
             eta = 10.0 ** root
@@ -347,46 +354,24 @@ class KrylovProfileLikelihood:
                 "eta": np.inf, "success": True, "iterations": 0}
 
     def _sigma0_ols(self):
-        # from the stored projections at a huge eta the Krylov solve
-        # degenerates; use the exact identity instead: OLS residual via
-        # the raw data Grams contained in U at step 0 is not available,
-        # so recompute cheaply from C at large eta: Kn^-1 ~ I/eta.
+        """Exact eta->inf boundary: sigma0^2 = OLS residual variance.
+
+        As eta -> inf, Kn^-1 -> I/eta and the profile identities collapse
+        to ordinary least squares on the mean model
+        (reference _profile_likelihood.py:281-295 find_optimal_sigma0):
+        sigma0^2 = (z'z - z'X (X'X)^-1 X'z) / (n - m), computed from the
+        raw data Gram stored at factorization time — the degenerate
+        low-noise boundary is exactly where a Krylov solve at a huge
+        surrogate eta is least trustworthy, so no solve is involved."""
+        if self.AtA is not None:
+            ztz = self.AtA[0, 0]
+            Xtz = self.AtA[1:, 0]
+            XtX = self.AtA[1:, 1:]
+            resid2 = ztz - Xtz @ np.linalg.solve(XtX, Xtz)
+            return np.sqrt(max(resid2, 0.0) / (self.n - self.m))
+        # factorization-only fallback (no raw Gram stored): Kn^-1 ~ I/eta
         eta = 1e12
         st = self._eta_stats(eta)
         sigma02 = st["zMz"] * eta / (self.n - self.m)
         return np.sqrt(sigma02)
 
-
-def _chandrupatla_scalar(f, x0, x1, f0, f1, tol=1e-6, max_iter=100):
-    """Scalar host-side Chandrupatla (float64, python floats)."""
-    b, a = x0, x1
-    fb, fa = f0, f1
-    c, fc = a, fa
-    t = 0.5
-    iters = 0
-    while iters < max_iter:
-        xt = a + t * (b - a)
-        ft = f(xt)
-        if np.sign(ft) == np.sign(fa):
-            c, fc = a, fa
-        else:
-            c, b, fc, fb = b, a, fb, fa
-        a, fa = xt, ft
-        if abs(fa) < abs(fb):
-            xm, fm = a, fa
-        else:
-            xm, fm = b, fb
-        tol_x = 2 * tol * abs(xm) + tol
-        tlim = tol_x / max(abs(b - c), 1e-300)
-        if fm == 0 or tlim > 0.5:
-            return xm, iters
-        xi = (a - b) / (c - b)
-        phi = (fa - fb) / (fc - fb)
-        if phi ** 2 < xi and (1 - phi) ** 2 < 1 - xi:
-            t = (fa / (fb - fa) * fc / (fb - fc)
-                 + (c - a) / (b - a) * fa / (fc - fa) * fb / (fc - fb))
-        else:
-            t = 0.5
-        t = min(1 - tlim, max(tlim, t))
-        iters += 1
-    return xm, iters

@@ -73,6 +73,48 @@ def find_interval_with_sign_change(f, bracket, num_bracket_trials=3,
     return False, [x0, x1], [f0, f1]
 
 
+def chandrupatla_scalar(f, x0, x1, f0, f1, tol=1e-6, max_iter=100):
+    """Host-mode scalar Chandrupatla (float64 python floats).
+
+    The same algorithm as :func:`chandrupatla` for the sequential-host
+    callers (models.large_scale.KrylovProfileLikelihood.fit): the per-eta
+    evaluation there is O(k^2) host numpy, so a jitted while_loop would
+    only add dispatch overhead. ``f0``/``f1`` are the already-computed
+    bracket values. Returns (root, iterations)."""
+    b, a = x0, x1
+    fb, fa = f0, f1
+    c, fc = a, fa
+    t = 0.5
+    iters = 0
+    xm, fm = (a, fa) if abs(fa) < abs(fb) else (b, fb)
+    while iters < max_iter:
+        xt = a + t * (b - a)
+        ft = f(xt)
+        if np.sign(ft) == np.sign(fa):
+            c, fc = a, fa
+        else:
+            c, b, fc, fb = b, a, fb, fa
+        a, fa = xt, ft
+        if abs(fa) < abs(fb):
+            xm, fm = a, fa
+        else:
+            xm, fm = b, fb
+        tol_x = 2 * tol * abs(xm) + tol
+        tlim = tol_x / max(abs(b - c), 1e-300)
+        if fm == 0 or tlim > 0.5:
+            return xm, iters
+        xi = (a - b) / (c - b)
+        phi = (fa - fb) / (fc - fb)
+        if phi ** 2 < xi and (1 - phi) ** 2 < 1 - xi:
+            t = (fa / (fb - fa) * fc / (fb - fc)
+                 + (c - a) / (b - a) * fa / (fc - fa) * fb / (fc - fb))
+        else:
+            t = 0.5
+        t = min(1 - tlim, max(tlim, t))
+        iters += 1
+    return xm, iters
+
+
 def chandrupatla(f, x0, x1, f0=None, f1=None, eps_m=None, eps_a=None,
                  max_iter=50):
     """Vectorized Chandrupatla root finder (derivative-free, bracketed).

@@ -69,6 +69,15 @@ def lanczos(matvec, V0, num_steps, reorthogonalize=True,
     k = num_steps
     if precise_sums is None:
         precise_sums = jax.config.jax_enable_x64
+    elif precise_sums and not jax.config.jax_enable_x64:
+        # with x64 off, jnp.float64 silently maps to float32 and the
+        # promised f64 accumulation quietly doesn't happen
+        import warnings
+        warnings.warn(
+            "lanczos(precise_sums=True) requires jax_enable_x64; x64 is "
+            "off, so sums fall back to the compute dtype (call "
+            "gppe_tpu.utils.config.setup() or ensure_inference_precision "
+            "first)", stacklevel=2)
     sum_dt = jnp.float64 if precise_sums else dtype
 
     def _dot_rows(a, b):

@@ -139,3 +139,23 @@ def test_sparse_operator_ell_guard():
                                np.asarray(K @ v))
     with pytest.raises(ValueError, match="padded-ELL"):
         operators.SparseOperator(K, max_ell_bytes=1000)
+
+
+def test_sigma0_ols_exact(problem):
+    """The eta -> inf boundary (VERDICT r3 item 7): _sigma0_ols must be
+    the EXACT OLS residual std (raw-Gram identity), matching the exact
+    spectral find_optimal_sigma0 at f64 — no surrogate huge-eta Krylov
+    solve involved."""
+    pts, X, z, K = problem
+    op = operators.MaternOperator(pts, 0.1, nu=0.5, block_rows=128)
+    eng = KrylovProfileLikelihood(op, X, z, lanczos_steps=40, num_probes=8)
+    Km = MixedCorrelation(K)
+    data = dl.make_spectral_data(Km, X, z)
+    want = float(pl_mod.find_optimal_sigma0(data))
+    got = float(eng._sigma0_ols())
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+    # and against the direct numpy OLS identity
+    Q, _ = np.linalg.qr(np.asarray(X, float))
+    r = np.asarray(z, float) - Q @ (Q.T @ np.asarray(z, float))
+    want_np = np.sqrt((r @ r) / (X.shape[0] - X.shape[1]))
+    np.testing.assert_allclose(got, want_np, rtol=1e-9)

@@ -52,3 +52,15 @@ def test_bracket_not_found():
     found, bracket, vals = root_finding.find_interval_with_sign_change(
         f, [0.0, 1.0], 3)
     assert not found
+
+
+def test_chandrupatla_host_scalar_matches_vectorized():
+    """One algorithm, two entry points (VERDICT r3 item 8): the host
+    scalar path must find the same root as the jitted vectorized one."""
+    f = lambda x: jnp.cos(x) - x  # root ~ 0.7390851332
+    root_v, _ = root_finding.chandrupatla(f, 0.0, 2.0)
+    fs = lambda x: float(np.cos(x) - x)
+    root_s, _ = root_finding.chandrupatla_scalar(fs, 0.0, 2.0,
+                                                 fs(0.0), fs(2.0))
+    np.testing.assert_allclose(root_s, 0.7390851332151607, rtol=1e-8)
+    np.testing.assert_allclose(root_s, float(root_v), rtol=1e-6)
