@@ -24,15 +24,36 @@ from ..ops import kernels
 from .mesh import BLOCK_AXIS, PROBE_AXIS
 
 
-def _rect_matern_matmat(pts_rows, pts_cols, scale, V, nu):
-    """Local row-block matvec: Matern(pts_rows, pts_cols) @ V, fused."""
+def _rect_matern_matmat(pts_rows, pts_cols, scale, V, nu,
+                        use_pallas=False):
+    """Local row-block matvec: Matern(pts_rows, pts_cols) @ V, fused.
+
+    ``use_pallas`` dispatches the fused Pallas tile kernel in its
+    rectangular form (ops.pallas_kernels.matern_matmat with
+    ``points_cols`` — built for exactly this row-block-sharded use);
+    the XLA form stays for CPU meshes and general nu."""
+    if use_pallas:
+        from ..ops import pallas_kernels
+        out = pallas_kernels.matern_matmat(pts_rows, scale, V, nu,
+                                           points_cols=pts_cols)
+        return out.astype(V.dtype)
     dist = kernels.pairwise_scaled_distance(pts_rows, pts_cols, scale)
     Kblk = kernels.matern(dist, nu)
     return jnp.matmul(Kblk, V, precision="highest")
 
 
+def default_use_pallas(nu, mesh):
+    """Pallas local matvec when the MESH's devices are TPU chips and nu
+    is in the closed-form set. Keyed off the mesh rather than the
+    default backend: a TPU session validating sharding on a virtual CPU
+    mesh (dryrun/tests) must take the XLA path."""
+    platform = next(iter(mesh.devices.flat)).platform
+    return platform in ("tpu", "axon") and (nu in (0.5, 1.5, 2.5)
+                                            or nu >= 100.0)
+
+
 def ring_matern_matmat(pts_local, pts_full, scale, V_local, nu, axis,
-                       n_blocks):
+                       n_blocks, use_pallas=False):
     """Ring-pipelined matvec with the Krylov vector kept SHARDED.
 
     The all-gather matvec materializes the full (n, r) vector on every
@@ -56,7 +77,7 @@ def ring_matern_matmat(pts_local, pts_full, scale, V_local, nu, axis,
         # degenerate ring: the self-permute [(0, 0)] breaks the TPU
         # compiler and communicates nothing anyway
         return _rect_matern_matmat(pts_local, pts_local, scale, V_local,
-                                   nu)
+                                   nu, use_pallas)
     perm = [(j, (j + 1) % n_blocks) for j in range(n_blocks)]
     n_l = V_local.shape[0]
     d = pts_local.shape[1]
@@ -69,7 +90,8 @@ def ring_matern_matmat(pts_local, pts_full, scale, V_local, nu, axis,
         pts_cols = jax.lax.dynamic_slice(pts_full,
                                          (src * n_l, jnp.int32(0)),
                                          (n_l, d))
-        blk = _rect_matern_matmat(pts_local, pts_cols, scale, V_rot, nu)
+        blk = _rect_matern_matmat(pts_local, pts_cols, scale, V_rot, nu,
+                                  use_pallas)
         V_rot = jax.lax.ppermute(V_rot, axis, perm)
         return acc + blk, V_rot
 
@@ -137,7 +159,7 @@ def _tridiag_dense(alphas, betas):
 
 
 def build_sharded_profile_step(mesh, nu=0.5, lanczos_steps=16,
-                               comm="ring"):
+                               comm="ring", use_pallas=None):
     """Compile one full multi-chip profile-likelihood step.
 
     Returns a jitted fn(points_local..., see below) over the mesh that:
@@ -157,9 +179,14 @@ def build_sharded_profile_step(mesh, nu=0.5, lanczos_steps=16,
         overlaps the matmul of block i.
       * ``'allgather'`` — gather the full vector each step (simpler,
         materializes (n, r) per chip; the baseline schedule).
+
+    ``use_pallas`` (default auto: TPU + closed-form nu) runs the local
+    row-block matvec through the fused Pallas tile kernel.
     """
     if comm not in ("ring", "allgather"):
         raise ValueError(f"unknown comm schedule '{comm}'")
+    if use_pallas is None:
+        use_pallas = default_use_pallas(nu, mesh)
     k = lanczos_steps
     n_blocks = int(mesh.shape[BLOCK_AXIS])
 
@@ -174,13 +201,14 @@ def build_sharded_profile_step(mesh, nu=0.5, lanczos_steps=16,
             if comm == "ring":
                 def matmat(V_l):
                     return ring_matern_matmat(pts_l, pts_f, scale_, V_l,
-                                              nu, BLOCK_AXIS, n_blocks)
+                                              nu, BLOCK_AXIS, n_blocks,
+                                              use_pallas)
             else:
                 def matmat(V_l):
                     V_f = jax.lax.all_gather(V_l, BLOCK_AXIS, axis=0,
                                              tiled=True)
                     return _rect_matern_matmat(pts_l, pts_f, scale_, V_f,
-                                               nu)
+                                               nu, use_pallas)
 
             # 1) solve bases
             a_s, b_s, Vs, nrm_s = _local_lanczos(matmat, rhs_l, k,
@@ -260,3 +288,201 @@ def build_sharded_profile_step(mesh, nu=0.5, lanczos_steps=16,
         )(points, pts_full, scale, X, z, probes, etas)
 
     return jax.jit(step)
+
+
+def build_sharded_factorization(mesh, nu=0.5, lanczos_steps=64,
+                                comm="ring", use_pallas=None):
+    """Compile the ONE-time multi-chip Krylov factorization program.
+
+    The multi-chip analog of models.large_scale.KrylovProfileLikelihood's
+    setup: a single merged sharded Lanczos pass over the solve block
+    [z, X], the deflation chain and the trace probes — all riding the
+    same row-sharded matvecs (collectives along 'block' inside every
+    matvec, probe chains sharded along 'probe') — followed by the small
+    projections. Everything eta-dependent afterwards is host O(k^2) math
+    (ShardedKrylovProfileLikelihood), so the FIT costs one device
+    program no matter how many root-finding iterations follow.
+
+    Returns a jitted fn(points, scale, X, z, v_defl, probes) ->
+    (a_sd (s+1, k), b_sd (s+1, k-1), U (s, k, s), G (s, s, k, k),
+    P (k, p), a_p (p, k), b_p (p, k-1)) where column s of the solve
+    block is the deflation chain. All projections are f64-accumulated
+    (ops.stochastic.matmul_f64/gram_f64 — the r3 precision rule: f32
+    O(n) reductions bias the per-eta math by ~sqrt(n)*eps).
+    """
+    from ..ops import stochastic
+
+    if comm not in ("ring", "allgather"):
+        raise ValueError(f"unknown comm schedule '{comm}'")
+    if use_pallas is None:
+        use_pallas = default_use_pallas(nu, mesh)
+    k = lanczos_steps
+    n_blocks = int(mesh.shape[BLOCK_AXIS])
+
+    def fact(points, scale, X, z, v_defl, probes):
+        m = X.shape[1]
+        s = m + 1
+
+        def body(pts_l, pts_f, scale_, X_l, z_l, vd_l, probes_l):
+            solve_l = jnp.concatenate([z_l[:, None], X_l, vd_l], axis=1)
+
+            if comm == "ring":
+                def matmat(V_l):
+                    return ring_matern_matmat(pts_l, pts_f, scale_, V_l,
+                                              nu, BLOCK_AXIS, n_blocks,
+                                              use_pallas)
+            else:
+                def matmat(V_l):
+                    V_f = jax.lax.all_gather(V_l, BLOCK_AXIS, axis=0,
+                                             tiled=True)
+                    return _rect_matern_matmat(pts_l, pts_f, scale_, V_f,
+                                               nu, use_pallas)
+
+            # solve block + deflation chain (replicated over 'probe')
+            a_sd, b_sd, Vsd, _ = _local_lanczos(matmat, solve_l, k,
+                                                BLOCK_AXIS)
+            # probe chains (sharded over 'probe')
+            a_p, b_p, _Vp, _ = _local_lanczos(matmat, probes_l, k,
+                                              BLOCK_AXIS)
+
+            # f64-accumulated local projections, f64 psums over 'block'
+            rhs_l = solve_l[:, :s]
+            Vs = Vsd[:, :, :s]                          # (k, n_l, s)
+            n_l = rhs_l.shape[0]
+            U = jax.lax.psum(stochastic.matmul_f64(
+                jnp.transpose(Vs, (0, 2, 1)).reshape(k * s, n_l),
+                rhs_l).reshape(k, s, s), BLOCK_AXIS)
+            U = jnp.transpose(U, (1, 0, 2))             # (s, k, s)
+            Vm = jnp.transpose(Vs, (2, 0, 1)).reshape(s * k, n_l)
+            G = jax.lax.psum(stochastic.gram_f64(Vm), BLOCK_AXIS)
+            G = jnp.transpose(G.reshape(s, k, s, k), (0, 2, 1, 3))
+            P = jax.lax.psum(stochastic.matmul_f64(
+                Vsd[:, :, s], probes_l), BLOCK_AXIS)    # (k, p_l)
+            return a_sd, b_sd, U, G, P, a_p, b_p
+
+        pts_full = points
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(BLOCK_AXIS), P(), P(), P(BLOCK_AXIS),
+                      P(BLOCK_AXIS), P(BLOCK_AXIS),
+                      P(BLOCK_AXIS, PROBE_AXIS)),
+            out_specs=(P(), P(), P(), P(), P(None, PROBE_AXIS),
+                       P(PROBE_AXIS), P(PROBE_AXIS)),
+            check_vma=False,
+        )(points, pts_full, scale, X, z, v_defl, probes)
+
+    return jax.jit(fact)
+
+
+class ShardedKrylovProfileLikelihood:
+    """End-to-end profile-likelihood MLE over a device mesh.
+
+    The multi-chip equivalent of the reference's full root-finding
+    driver (reference _profile_likelihood.py:244-415): ONE sharded
+    Krylov factorization program on the mesh (build_sharded_factorization
+    — row-block-sharded fused matvecs, ring/allgather schedules, probe
+    chains on the 'probe' axis), then the entire MLE — bracket search,
+    Chandrupatla root-finding, der2-at-0 boundary-sign analysis and the
+    exact-OLS eta->inf boundary — runs on the host O(k^2) engine
+    (models.large_scale.KrylovProfileLikelihood.from_factorization).
+    Root-finding costs microseconds per eta; no further device programs.
+
+    ``n`` need not divide the mesh's block extent: points are padded
+    with mutually-far dummy points and the data block with zero rows —
+    the padded operator is block-diagonal with ~identity on the pad
+    block, and zero-padded Krylov vectors stay zero there, so the
+    factorization is EXACTLY the unpadded one.
+    """
+
+    def __init__(self, mesh, points, X, z, scale, nu=0.5,
+                 lanczos_steps=64, num_probes=16, comm="ring", key=0,
+                 use_pallas=None, trace_k2=True, dtype=None):
+        import numpy as np
+        from ..models.large_scale import KrylovProfileLikelihood
+        from ..ops import stochastic
+        from ..utils.config import (compute_dtype,
+                                    ensure_inference_precision)
+
+        # the host per-eta engine and the accumulated projections are
+        # float64 (the r3 precision rule); the O(n) device math stays in
+        # compute dtype
+        ensure_inference_precision()
+        dtype = dtype or compute_dtype()
+        pts = np.asarray(points, dtype=np.float64)
+        X = np.asarray(X, dtype=np.float64)
+        z = np.asarray(z, dtype=np.float64)
+        n, d = pts.shape
+        m = X.shape[1]
+        self.n, self.m = n, m
+        s = m + 1
+        k = int(min(lanczos_steps, n))
+        p = int(num_probes)
+        probe_ext = int(mesh.shape[PROBE_AXIS])
+        block_ext = int(mesh.shape[BLOCK_AXIS])
+        if p % probe_ext:
+            p = -(-p // probe_ext) * probe_ext   # round up to the mesh
+
+        # pad n up to a block-extent multiple (see class docstring)
+        n_pad = -(-n // block_ext) * block_ext
+        if n_pad > n:
+            far = 1e6 * (2.0 + np.arange(n_pad - n))
+            pts_pad = np.zeros((n_pad, d))
+            pts_pad[:n] = pts
+            pts_pad[n:, 0] = far
+            pts = pts_pad
+        zp = np.zeros(n_pad)
+        zp[:n] = z
+        Xp = np.zeros((n_pad, m))
+        Xp[:n] = X
+
+        rng = jax.random.PRNGKey(key)
+        k_probe, k_defl = jax.random.split(rng)
+        probes = np.zeros((n_pad, p), dtype=np.float64)
+        probes[:n] = np.asarray(jax.random.rademacher(
+            k_probe, (n, p), dtype=jnp.float32), dtype=np.float64)
+        v_defl = np.zeros((n_pad, 1), dtype=np.float64)
+        v_defl[:n, 0] = np.asarray(jax.random.normal(
+            k_defl, (n,), dtype=jnp.float32), dtype=np.float64)
+
+        fact = build_sharded_factorization(
+            mesh, nu=nu, lanczos_steps=k, comm=comm,
+            use_pallas=use_pallas)
+        out = fact(jnp.asarray(pts, dtype),
+                   jnp.asarray(np.broadcast_to(np.asarray(scale, float),
+                                               (d,)).copy(), dtype),
+                   jnp.asarray(Xp, dtype), jnp.asarray(zp, dtype),
+                   jnp.asarray(v_defl, dtype),
+                   jnp.asarray(probes, dtype))
+        a_sd, b_sd, U, G, P, a_p, b_p = (np.asarray(o, dtype=np.float64)
+                                         for o in out)
+
+        A = np.concatenate([z[:, None], X], axis=1)
+        rhs_norms = np.linalg.norm(A, axis=0)
+        tK2 = None
+        if trace_k2:
+            from ..ops import operators
+            op = operators.MaternOperator(np.asarray(points, float),
+                                          scale, nu=nu)
+            tK2 = float(op.trace_pow(2))
+        nodes, weights = stochastic.deflated_quadrature(
+            a_sd[s], b_sd[s], a_p, b_p, P,
+            np.full(p, float(n)), n, trace_K2=tK2)
+        traces = stochastic.QuadratureTraceEngine(nodes, weights, n)
+        self._eng = KrylovProfileLikelihood.from_factorization(
+            a_sd[:s], b_sd[:s], U, G, rhs_norms, traces, n, m,
+            AtA=A.T @ A)
+
+    # host O(k^2) per-eta surface (delegates)
+    def der1(self, log_eta):
+        return self._eng.der1(log_eta)
+
+    def der2(self, eta):
+        return self._eng.der2(eta)
+
+    def log_likelihood(self, sigma, eta):
+        return self._eng.log_likelihood(sigma, eta)
+
+    def fit(self, **kwargs):
+        """Full MLE: bracket + Chandrupatla + boundary fallback — see
+        KrylovProfileLikelihood.fit."""
+        return self._eng.fit(**kwargs)
