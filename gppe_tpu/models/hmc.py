@@ -258,6 +258,62 @@ def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
     return res
 
 
+def sample_posterior_nu(points, z, X, num_chains=8, num_samples=500,
+                        num_warmup=300, num_leapfrog=16, key=0,
+                        log_prior="reference",
+                        log10_eta_bounds=(-3.0, 4.0),
+                        log10_rho_bounds=(-2.0, 0.0),
+                        nu_bounds=(1.0, 25.0), mesh=None,
+                        resume_state=None):
+    """Sample the FULL (log10 eta, log10 rho, nu) posterior — inference
+    over the kernel-order parameter the reference's flagship sweep
+    covers (nu in [1, 25], FindOptimalCovarianceParameters.py:664-666)
+    and its MAP analysis showed matters (prior moves nu from the bound
+    25 to 3.03, golden data/OptimalCovariance_WithPrior.pickle).
+
+    ``nu`` is traced through the from-scratch Bessel K_nu, so leapfrog
+    gradients include d lp/d nu (validated against central differences
+    in tests/test_nu_posterior.py). ``log_prior="reference"`` applies
+    the golden pickle's priors — inverse-square on rho and on nu/25
+    (reference :119-146); pass None for flat-in-box, or a callable
+    ``log_prior(eta, rho, nu)`` in natural parameters.
+
+    Returns an HMCResult whose samples are (num_samples, chains, 3) in
+    (log10 eta, log10 rho, nu) coordinates.
+    """
+    from .kernel_posterior import make_bounded_log_posterior_nu
+    from .priors import inverse_square_log_prior
+
+    if log_prior == "reference":
+        def log_prior(eta, rho, nu):  # noqa: F811
+            return (inverse_square_log_prior(rho)
+                    + inverse_square_log_prior(nu, scale=25.0))
+
+    log_post, u_to_theta = make_bounded_log_posterior_nu(
+        points, z, X, log10_bounds=(log10_eta_bounds, log10_rho_bounds),
+        nu_bounds=nu_bounds, log_prior=log_prior)
+
+    if resume_state is not None:
+        res = resume_hmc(log_post, resume_state, num_samples,
+                         num_leapfrog=num_leapfrog)
+        return res._replace(samples=u_to_theta(res.samples))
+
+    rng = jax.random.PRNGKey(key)
+    k_init, k_run = jax.random.split(rng)
+    init = 0.5 * jax.random.normal(k_init, (num_chains, 3))
+    init = jnp.asarray(init, dtype=jnp.result_type(0.0))
+
+    if mesh is not None:
+        from ..parallel.mesh import PROBE_AXIS
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(PROBE_AXIS, None))
+        init = jax.device_put(init, sharding)
+
+    res = hmc_sample(log_post, init, k_run, num_samples=num_samples,
+                     num_warmup=num_warmup, num_leapfrog=num_leapfrog)
+    return res._replace(samples=u_to_theta(res.samples))
+
+
 def sample_posterior_large(points, z, X, nu=0.5, num_chains=64,
                            num_samples=500, num_warmup=300, num_leapfrog=16,
                            key=0, log_prior=None, mesh=None,

@@ -68,6 +68,93 @@ def make_profile_loglik(points, z, X, nu=0.5, dtype=None):
     return lp
 
 
+def make_profile_loglik_nu(points, z, X, dtype=None):
+    """Jittable lp(log10_eta, log10_rho, nu) with ``nu`` TRACED through
+    the from-scratch Bessel K_nu (ops.special — Temme series + Steed CF2),
+    so autodiff gradients flow through the kernel-order parameter too.
+
+    The third coordinate the reference's flagship sweep showed matters:
+    its MAP analysis moves nu from the bound 25 to 3.03
+    (reference examples/FindOptimalCovarianceParameters.py:119-146,664-666;
+    golden data/OptimalCovariance_WithPrior.pickle). Same Cholesky
+    pipeline as :func:`make_profile_loglik` (stable derivatives, unlike
+    eigh on the clustered spectra general-nu kernels have)."""
+    from ..utils.config import compute_dtype
+    dtype = dtype or compute_dtype()
+    pts = jnp.asarray(points, dtype=dtype)
+    z_ = jnp.asarray(z, dtype=dtype)
+    X_ = jnp.asarray(X, dtype=dtype)
+    n, m = X_.shape
+
+    def lp(log10_eta, log10_rho, nu):
+        with jax.default_matmul_precision("highest"):
+            eta = jnp.power(10.0, jnp.asarray(log10_eta, dtype))
+            rho = jnp.power(10.0, jnp.asarray(log10_rho, dtype))
+            nu = jnp.asarray(nu, dtype)
+            dist = kernels.pairwise_scaled_distance(pts, pts, rho)
+            K = kernels.matern(dist, nu)       # traced-nu Bessel branch
+            Kn = K + eta * jnp.eye(n, dtype=dtype)
+            L = jnp.linalg.cholesky(Kn)
+            rhs = jnp.concatenate([z_[:, None], X_], axis=1)
+            W = jax.scipy.linalg.cho_solve((L, True), rhs)
+            w = W[:, 0]
+            Y = W[:, 1:]
+            B = X_.T @ Y
+            LB = jnp.linalg.cholesky(0.5 * (B + B.T))
+            logdet_B = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
+            c = jax.scipy.linalg.cho_solve((LB, True), X_.T @ w)
+            zMz = z_ @ w - (X_.T @ w) @ c
+            sigma2 = zMz / (n - m)
+            logdet_Kn = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+            return (-0.5 * (n - m) * jnp.log(sigma2) - 0.5 * logdet_Kn
+                    - 0.5 * logdet_B - 0.5 * (n - m))
+
+    return lp
+
+
+def make_bounded_log_posterior_nu(points, z, X,
+                                  log10_bounds=((-3.0, 4.0), (-2.0, 0.0)),
+                                  nu_bounds=(1.0, 25.0), log_prior=None):
+    """Posterior over theta = [log10_eta, log10_rho, nu] in unconstrained
+    sigmoid coordinates (see :func:`make_bounded_log_posterior` for why
+    HMC wants this form). ``nu`` is sampled in NATURAL units over
+    ``nu_bounds`` (the reference sweep's [1, 25] range,
+    FindOptimalCovarianceParameters.py:664-666); ``log_prior(eta, rho,
+    nu)`` operates in natural parameters — the log10 change-of-variables
+    Jacobian applies to eta and rho only. Returns (log_post_u,
+    u_to_theta)."""
+    lp = make_profile_loglik_nu(points, z, X)
+    ln10 = jnp.log(10.0)
+
+    def log_post_theta(theta):
+        l_eta, l_rho, nu = theta[0], theta[1], theta[2]
+        val = lp(l_eta, l_rho, nu)
+        if log_prior is not None:
+            eta = jnp.power(10.0, l_eta)
+            rho = jnp.power(10.0, l_rho)
+            val = val + log_prior(eta, rho, nu)
+            val = val + (l_eta + l_rho) * ln10   # eta, rho only
+        return val
+
+    lo = jnp.asarray([log10_bounds[0][0], log10_bounds[1][0],
+                      nu_bounds[0]], dtype=jnp.result_type(0.0))
+    hi = jnp.asarray([log10_bounds[0][1], log10_bounds[1][1],
+                      nu_bounds[1]], dtype=lo.dtype)
+    margin = 1e-6
+
+    def u_to_theta(u):
+        s = margin + (1.0 - 2.0 * margin) * jax.nn.sigmoid(u)
+        return lo + (hi - lo) * s
+
+    def log_post_u(u):
+        theta = u_to_theta(u)
+        log_jac = jnp.sum(jnp.log(hi - lo) + jnp.log1p(-2.0 * margin)
+                          + jax.nn.log_sigmoid(u) + jax.nn.log_sigmoid(-u))
+        return log_post_theta(theta) + log_jac
+
+    return log_post_u, u_to_theta
+
+
 def make_log_posterior(points, z, X, nu=0.5, log_prior=None):
     """lp + prior as a function of theta = [log10_eta, log10_rho].
 

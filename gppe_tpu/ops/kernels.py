@@ -21,12 +21,20 @@ _GAUSSIAN_NU_CUTOFF = 100.0
 
 
 def _matern_general(x, nu):
-    """2^{1-nu}/Gamma(nu) * (sqrt(2 nu) x)^nu * K_nu(sqrt(2 nu) x) for x>0."""
+    """2^{1-nu}/Gamma(nu) * (sqrt(2 nu) x)^nu * K_nu(sqrt(2 nu) x) for x>0.
+
+    Evaluated fully in log space (special.log_kv): the prefactor
+    underflows and K_nu overflows float32 separately around nu ~ 10 even
+    though their product is a correlation in (0, 1] — the value-space
+    form NaN'd the f32 traced-nu path the posterior-over-nu sampler
+    runs on TPU."""
     z = jnp.sqrt(2.0 * nu) * x
     z = jnp.maximum(z, jnp.asarray(1e-30, x.dtype))
-    # exp-log form keeps (z^nu * K_nu) stable for large nu
     log_pref = (1.0 - nu) * jnp.log(2.0) - gammaln(nu) + nu * jnp.log(z)
-    return jnp.exp(log_pref) * special.kv(nu, z)
+    # the two logs are ~+-nu*|log z| and cancel; f32 absolute error in
+    # the sum (~1e-5 at nu ~ 25) can push the correlation epsilon above
+    # its mathematical bound 1 — clamp
+    return jnp.minimum(jnp.exp(log_pref + special.log_kv(nu, z)), 1.0)
 
 
 def matern(x, nu):

@@ -86,10 +86,17 @@ def _kv_temme_small(mu, x, n_terms=30):
         q_n = q / (fi + mu)
         dl = c_n * ff_n
         s_n = s + dl
-        s1_n = s1 + c_n * (p_n - fi * ff_n)
+        dl1 = c_n * (p_n - fi * ff_n)
+        s1_n = s1 + dl1
         # Freeze converged lanes: keeps fp32 finite past convergence.
+        # BOTH series must have converged: freezing on s alone truncates
+        # the autodiff chain of s1 (and of any lane whose s-increments
+        # vanish identically while derivative terms do not — the
+        # mu = +-1/2 pathology of the CF2 branch, see _kv_cf2_large).
         upd = jnp.logical_not(done)
-        done = jnp.logical_or(done, jnp.abs(dl) < jnp.abs(s_n) * eps)
+        done = jnp.logical_or(
+            done, jnp.logical_and(jnp.abs(dl) < jnp.abs(s_n) * eps,
+                                  jnp.abs(dl1) < jnp.abs(s1_n) * eps))
         pick = lambda new, old: jnp.where(upd, new, old)  # noqa: E731
         return (pick(ff_n, ff), pick(p_n, p), pick(q_n, q), pick(c_n, c),
                 pick(s_n, s), pick(s1_n, s1), done)
@@ -134,8 +141,21 @@ def _kv_cf2_large(mu, x, n_iters=60):
         dels = q_n * delh_n
         s_n = s + dels
         # Freeze converged lanes: c ~ i! overflows fp32 if left running.
+        # The criterion must ALSO require the h continued fraction to
+        # have converged: at mu = +-1/2 (half-integer nu) a1 = 0 makes
+        # every dels identically zero, so an s-only test froze the loop
+        # at iteration 2 — the VALUE is exact (K_{1/2} is elementary) but
+        # the truncation cut the autodiff chain and d K/d nu came out
+        # ~5-40% wrong in the z in [2, 6] range (caught by
+        # tests/test_special.py::test_kv_nu_gradient_matches_fd). delh
+        # rides the true CF contraction, so freezing on both keeps the
+        # loop live for the full convergence duration; the derivative
+        # series contracts at the same geometric rate.
         upd = jnp.logical_not(done)
-        done = jnp.logical_or(done, jnp.abs(dels) < jnp.abs(s_n) * eps)
+        done = jnp.logical_or(
+            done, jnp.logical_and(
+                jnp.abs(dels) < jnp.abs(s_n) * eps,
+                jnp.abs(delh_n) < jnp.abs(h_n) * eps))
         pick = lambda new, old: jnp.where(upd, new, old)  # noqa: E731
         return (pick(a_n, a), pick(b_n, b), pick(c_n, c), pick(d_n, d),
                 pick(h_n, h), pick(delh_n, delh), pick(q_n, q),
@@ -146,20 +166,27 @@ def _kv_cf2_large(mu, x, n_iters=60):
         (a, b, c, d, h, delh, q, q1, q2, s, done),
     )
     h = a1 * h
-    k_mu = jnp.sqrt(jnp.pi / (2.0 * x)) * jnp.exp(-x) / s
+    # e^x-SCALED values (true K = these * e^{-x}): the caller keeps the
+    # exponential in a log-scale so large-x lanes neither underflow the
+    # value nor overflow any rescaling factor (f32: e^{-x} dies at
+    # x ~ 88 while these stay O(1/sqrt(x)))
+    k_mu = jnp.sqrt(jnp.pi / (2.0 * x)) / s
     k_mu1 = k_mu * (mu + x + 0.5 - h) / x
     return k_mu, k_mu1
 
 
-def kv(nu, x, max_order: int = 128):
-    """Modified Bessel function of the second kind K_nu(x), elementwise.
+def _kv_parts(nu, x, max_order: int = 128):
+    """Scaled evaluation: K_nu(x) = val * exp(log_scale), elementwise.
 
-    Supports real nu >= 0 (traced or static) and x > 0. ``max_order`` bounds
-    the upward-recurrence trip count (static for XLA); nu must satisfy
-    ``round(nu) <= max_order``.
-
-    Matches ``scipy.special.kv`` to ~1e-12 relative in float64 over the
-    domain exercised by Matern kernels (x in [1e-6, 700], nu in [0, 100]).
+    The upward recurrence K_{mu+j+1} = 2(mu+j)/x K_{mu+j} + K_{mu+j-1}
+    grows like Gamma(nu)(2/x)^nu — far past float32 range for large nu /
+    small x (K_25(1e-3) ~ 10^100), which made the f32 Matern NaN above
+    nu ~ 10. Carrying the magnitude in a separate log-scale keeps every
+    intermediate O(1): the recurrence renormalizes k_hi to unit magnitude
+    each step, and the large-x branch keeps its e^{-x} factor in the
+    scale too (so log-space consumers stay exact past the f32 underflow
+    at x ~ 88). All renormalizations are differentiable (K > 0
+    throughout), so autodiff in nu and x flows through unchanged.
     """
     x = jnp.asarray(x)
     dtype = x.dtype
@@ -176,25 +203,70 @@ def kv(nu, x, max_order: int = 128):
     xl = jnp.maximum(x_safe, 2.0)
     k_mu_s, k_mu1_s = _kv_temme_small(mu, xs)
     k_mu_l, k_mu1_l = _kv_cf2_large(mu, xl)
+    # CF2 returns e^x-scaled values (its e^{-x} factor lives in the log
+    # scale), so large-x lanes neither underflow nor overflow
     k_mu = jnp.where(small, k_mu_s, k_mu_l)
     k_mu1 = jnp.where(small, k_mu1_s, k_mu1_l)
+    sc = jnp.where(small, jnp.zeros_like(x_safe), -xl)
 
-    # Upward recurrence with masking: K_{j+1} = 2(mu+j)/x K_j + K_{j-1}
+    # Upward recurrence with masking + per-step renormalization:
+    # invariant before step j: k_lo = K_{mu+j} e^{-sc},
+    # k_hi = K_{mu+j+1} e^{-sc}.
     xi2 = 2.0 / x_safe
 
     def rec_body(j, carry):
-        k_lo, k_hi = carry
+        k_lo, k_hi, sc = carry
         fj = j.astype(dtype)
         do = fj < nl
-        k_new = (mu + fj + 1.0) * xi2 * k_hi + k_lo
-        k_lo = jnp.where(do, k_hi, k_lo)
+        mag = jnp.abs(k_hi)
+        mag = jnp.where(mag > 0, mag, 1.0)
+        k_lo_r = k_lo / mag
+        k_hi_r = k_hi / mag
+        sc_r = sc + jnp.log(mag)
+        k_new = (mu + fj + 1.0) * xi2 * k_hi_r + k_lo_r
+        k_lo = jnp.where(do, k_hi_r, k_lo)
         k_hi = jnp.where(do, k_new, k_hi)
-        return (k_lo, k_hi)
+        sc = jnp.where(do, sc_r, sc)
+        return (k_lo, k_hi, sc)
 
-    # After j recurrences, k_lo = K_{mu+j}; we need K_{mu+nl}.
-    k_lo, k_hi = jax.lax.fori_loop(0, max_order, rec_body, (k_mu, k_mu1))
-    result = jnp.where(nl == 0, k_mu, k_lo)
-    return jnp.where(x <= 0, jnp.asarray(jnp.inf, dtype), result)
+    # After j recurrences, k_lo e^{sc} = K_{mu+j}; we need K_{mu+nl}.
+    k_lo, k_hi, sc_rec = jax.lax.fori_loop(
+        0, max_order, rec_body, (k_mu, k_mu1, sc))
+    val = jnp.where(nl == 0, k_mu, k_lo)
+    scale = jnp.where(nl == 0, sc, sc_rec)
+    return val, scale
+
+
+def kv(nu, x, max_order: int = 128):
+    """Modified Bessel function of the second kind K_nu(x), elementwise.
+
+    Supports real nu >= 0 (traced or static) and x > 0. ``max_order`` bounds
+    the upward-recurrence trip count (static for XLA); nu must satisfy
+    ``round(nu) <= max_order``.
+
+    Matches ``scipy.special.kv`` to ~1e-12 relative in float64 over the
+    domain exercised by Matern kernels (x in [1e-6, 700], nu in [0, 100]).
+    Overflows to inf where K_nu exceeds the dtype range (large nu, small
+    x) — log-space consumers should use :func:`log_kv` instead.
+    """
+    x = jnp.asarray(x)
+    val, scale = _kv_parts(nu, x, max_order=max_order)
+    result = val * jnp.exp(scale)
+    return jnp.where(x <= 0, jnp.asarray(jnp.inf, x.dtype), result)
+
+
+def log_kv(nu, x, max_order: int = 128):
+    """log K_nu(x), overflow- and underflow-free across the dtype range.
+
+    The f32-safe form for large-nu Matern kernels: K_25(10^-3) ~ 10^100
+    overflows float32 as a value but its log is a tame ~230. Fully
+    differentiable in nu and x (the traced-nu sampling path,
+    models.kernel_posterior.make_profile_loglik_nu)."""
+    x = jnp.asarray(x)
+    val, scale = _kv_parts(nu, x, max_order=max_order)
+    tiny = jnp.asarray(jnp.finfo(x.dtype).tiny, x.dtype)
+    result = jnp.log(jnp.maximum(val, tiny)) + scale
+    return jnp.where(x <= 0, jnp.asarray(jnp.inf, x.dtype), result)
 
 
 def kve(nu, x, max_order: int = 128):
@@ -202,4 +274,7 @@ def kve(nu, x, max_order: int = 128):
 
     Avoids underflow of K_nu for large x (the far tail of Matern kernels).
     """
-    return kv(nu, x, max_order=max_order) * jnp.exp(x)
+    x = jnp.asarray(x)
+    val, scale = _kv_parts(nu, x, max_order=max_order)
+    result = val * jnp.exp(scale + x)
+    return jnp.where(x <= 0, jnp.asarray(jnp.inf, x.dtype), result)
