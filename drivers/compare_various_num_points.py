@@ -103,7 +103,7 @@ def run_krylov(n, noise=0.2, scale=0.1, nu=0.5, density=None, seed=7,
 
 def main_sparse(ns=(65536, 262144, 1048576), density=1e-3, scale=0.005,
                 results_path="data/various_number_of_points_sparse.pickle",
-                use_saved=False, verbose=True):
+                use_saved=False, verbose=True, runs=1, plot=False):
     """The reference's sparse scaling race
     (CompareVariousNumberOfPoints.py:243-248: grid points, rho = 0.005,
     nu = 0.5, tapered-sparse K, derivative method). Reference totals
@@ -116,7 +116,7 @@ def main_sparse(ns=(65536, 262144, 1048576), density=1e-3, scale=0.005,
 
     reference_totals = {65536: 28.0, 262144: 485.0, 1048576: 10032.0}
 
-    def compute():
+    def compute_once():
         out = {"sparse": []}
         for n in ns:
             t0 = time.perf_counter()
@@ -140,14 +140,123 @@ def main_sparse(ns=(65536, 262144, 1048576), density=1e-3, scale=0.005,
                   f"(reference sparse path: ~1.7)")
         return out
 
-    return checkpoint.run_or_resume(results_path, compute,
-                                    use_saved=use_saved, verbose=verbose)
+    def compute():
+        # multi-run averaging (reference :286-356)
+        return average_runs([compute_once() for _ in range(runs)])
+
+    results = checkpoint.run_or_resume(results_path, compute,
+                                       use_saved=use_saved,
+                                       verbose=verbose)
+    if plot:
+        plot_results(results, filename="various_number_of_points_sparse",
+                     reference_rows=reference_totals, verbose=verbose)
+    return results
+
+
+def average_runs(results_list):
+    """Merge several runs of :func:`main`/:func:`main_sparse` output
+    dicts by averaging the timing fields per N (the reference's
+    multi-run averaging, CompareVariousNumberOfPoints.py:286-356 —
+    AverageAllResults merges pickle files the same way). Non-timing
+    fields (eta, sigma...) are taken from the first run; slopes are
+    refit from the averaged totals."""
+    import copy
+
+    if len(results_list) == 1:
+        return copy.deepcopy(results_list[0])
+    out = copy.deepcopy(results_list[0])
+
+    def avg_series(key, sub=None):
+        rows0 = out.get(key)
+        if not rows0:
+            return
+        for i, row in enumerate(rows0):
+            tgt = row[sub] if sub else row
+            for t in ("pre_s", "opt_s", "total_s"):
+                if t in tgt:
+                    vals = []
+                    for res in results_list:
+                        r = res[key][i]
+                        vals.append((r[sub] if sub else r)[t])
+                    tgt[t] = float(np.mean(vals))
+
+    avg_series("krylov")
+    avg_series("sparse")
+    for sub in ("derivative", "direct"):
+        avg_series("dense", sub)
+    if "sparse" in out:
+        out["sparse_slope"] = log_regression(
+            [r["n"] for r in out["sparse"]],
+            [r["total_s"] for r in out["sparse"]])
+    if "dense" in out:
+        out["derivative_slope"] = log_regression(
+            [r["n"] for r in out["dense"]],
+            [r["derivative"]["pre_s"] + r["derivative"]["opt_s"]
+             for r in out["dense"]])
+    out["num_runs"] = len(results_list)
+    return out
+
+
+def plot_results(results, filename="various_number_of_points",
+                 reference_rows=None, verbose=False):
+    """Reference-style log-log timing plot
+    (CompareVariousNumberOfPoints.py:418-599): one curve per method,
+    pre-computation and total separated, slope annotations, optional
+    reference-CPU rows for comparison."""
+    from gppe_tpu.utils import plot as plot_utils
+
+    plt = plot_utils._get_plt()
+    fig, ax = plt.subplots(figsize=(7, 5))
+
+    def draw(ns, totals, pres, label, color):
+        ns = np.asarray(ns, dtype=float)
+        totals = np.asarray(totals, dtype=float)
+        slope = log_regression(ns, totals)
+        ax.loglog(ns, totals, "o-", color=color,
+                  label=f"{label} total (slope {slope:.2f})")
+        if pres is not None:
+            ax.loglog(ns, np.asarray(pres, dtype=float), "s--",
+                      color=color, alpha=0.5,
+                      label=f"{label} pre-compute")
+
+    if results.get("dense"):
+        rows = results["dense"]
+        draw([r["n"] for r in rows],
+             [r["derivative"]["pre_s"] + r["derivative"]["opt_s"]
+              for r in rows],
+             [r["derivative"]["pre_s"] for r in rows],
+             "derivative (spectral)", "C0")
+        draw([r["n"] for r in rows],
+             [r["derivative"]["pre_s"] + r["direct"]["opt_s"]
+              for r in rows], None, "direct (spectral)", "C1")
+    if results.get("krylov"):
+        rows = results["krylov"]
+        draw([r["n"] for r in rows],
+             [r["pre_s"] + r["opt_s"] for r in rows],
+             [r["pre_s"] for r in rows], "derivative (Krylov)", "C2")
+    if results.get("sparse"):
+        rows = results["sparse"]
+        draw([r["n"] for r in rows], [r["total_s"] for r in rows],
+             [r["pre_s"] for r in rows], "derivative (tapered sparse)",
+             "C3")
+    if reference_rows:
+        ns = sorted(reference_rows)
+        ax.loglog(ns, [reference_rows[n] for n in ns], "x:", color="k",
+                  label="reference CPU (pickled)")
+
+    ax.set_xlabel("number of points n")
+    ax.set_ylabel("seconds")
+    ax.grid(True, which="both", alpha=0.3)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    plot_utils.save_plot(plt, filename, verbose=verbose)
+    plt.close(fig)
 
 
 def main(dense_sides=(23, 27, 32, 45, 54, 64),
          krylov_ns=(4096, 16384, 65536),
          results_path="data/various_number_of_points.pickle",
-         use_saved=False, verbose=True):
+         use_saved=False, verbose=True, runs=1, plot=False):
     """dense_sides mirror the reference's N in {529...4096}
     (CompareVariousNumberOfPoints.py:247-261: 23^2, 27^2, 32^2, 45^2,
     54^2, 64^2)."""
@@ -155,7 +264,7 @@ def main(dense_sides=(23, 27, 32, 45, 54, 64),
     from gppe_tpu.utils import config as cfg
     cfg.setup()
 
-    def compute():
+    def compute_once():
         out = {"dense": [], "krylov": []}
         for side in dense_sides:
             n, res = run_dense(side)
@@ -183,8 +292,20 @@ def main(dense_sides=(23, 27, 32, 45, 54, 64),
                   f"(reference CPU path is ~3 for dense)")
         return out
 
-    return checkpoint.run_or_resume(results_path, compute,
-                                    use_saved=use_saved, verbose=verbose)
+    def compute():
+        # multi-run averaging (reference :286-356)
+        return average_runs([compute_once() for _ in range(runs)])
+
+    results = checkpoint.run_or_resume(results_path, compute,
+                                       use_saved=use_saved,
+                                       verbose=verbose)
+    if plot:
+        # reference dense derivative-method totals at the same Ns
+        ref = {529: 0.40, 729: 0.71, 1024: 1.44, 2025: 7.52,
+               2916: 20.8, 4096: 72.5}
+        plot_results(results, filename="various_number_of_points",
+                     reference_rows=ref, verbose=verbose)
+    return results
 
 
 if __name__ == "__main__":
@@ -197,14 +318,19 @@ if __name__ == "__main__":
                         "(N = 2^16, 2^18, 2^20; rho = 0.005)")
     p.add_argument("--max-n", type=int, default=None,
                    help="cap the largest sparse N")
+    p.add_argument("--runs", type=int, default=1,
+                   help="repetitions to average (reference :286-356)")
+    p.add_argument("--plot", action="store_true",
+                   help="reference-style log-log timing plot (:418-599)")
     a = p.parse_args()
     if a.sparse:
         ns = (65536, 262144, 1048576)
         if a.max_n:
             ns = tuple(n for n in ns if n <= a.max_n)
-        main_sparse(ns=ns, use_saved=a.use_saved)
+        main_sparse(ns=ns, use_saved=a.use_saved, runs=a.runs,
+                    plot=a.plot)
     elif a.small:
         main(dense_sides=(16, 23, 32), krylov_ns=(4096,),
-             use_saved=a.use_saved)
+             use_saved=a.use_saved, runs=a.runs, plot=a.plot)
     else:
-        main(use_saved=a.use_saved)
+        main(use_saved=a.use_saved, runs=a.runs, plot=a.plot)

@@ -82,12 +82,78 @@ def main(num_points=30, noise=0.2, num_chains=8, num_samples=500,
     return out
 
 
+def main_nu(num_points=30, noise=0.05, num_chains=8, num_samples=400,
+            num_warmup=300, num_leapfrog=16,
+            results_path="data/posterior_nu_samples.pickle",
+            verbose=True):
+    """Full (log10 eta, log10 rho, nu) posterior at the reference's
+    flagship config (n=900, noise 0.05 — the dataset of the golden MAP
+    sweep, reference examples/FindOptimalCovarianceParameters.py:640-666,
+    data/OptimalCovariance_WithPrior.pickle). With the golden priors
+    (inverse-square on rho and on nu/25) the MAP sits at rho ~ 0.177,
+    nu ~ 3.03; the sampled posterior concentrates on the same
+    rho-nu ridge, and the profile-lp argmax over the SAMPLES recovers
+    the golden mode (reported as map_rho / map_nu)."""
+    from gppe_tpu.utils import checkpoint
+    from gppe_tpu.utils import config as cfg
+    cfg.setup()
+
+    from gppe_tpu.models import hmc
+    from gppe_tpu.utils import data as data_utils
+
+    pts = data_utils.generate_points(num_points, dimension=2)
+    z = data_utils.generate_data(pts, noise)
+    X = data_utils.generate_basis_functions(pts, 2)
+
+    t0 = time.perf_counter()
+    res = hmc.sample_posterior_nu(
+        pts, z, X, num_chains=num_chains, num_samples=num_samples,
+        num_warmup=num_warmup, num_leapfrog=num_leapfrog, key=0,
+        log_prior="reference", log10_rho_bounds=(-1.3, -0.3),
+        nu_bounds=(1.0, 25.0))
+    wall = time.perf_counter() - t0
+
+    samples = np.asarray(res.samples)           # (S, C, 3)
+    flat = samples.reshape(-1, 3)
+    lps = np.asarray(res.log_probs).ravel()
+    i_map = int(np.argmax(lps))
+    total = num_chains * num_samples
+    out = {
+        "samples": samples,
+        "accept_rate": np.asarray(res.accept_rate),
+        "posterior_mean": flat.mean(0),
+        "posterior_std": flat.std(0),
+        "map_log10_eta": float(flat[i_map, 0]),
+        "map_rho": float(10.0 ** flat[i_map, 1]),
+        "map_nu": float(flat[i_map, 2]),
+        "nu_mode": float(np.median(flat[:, 2])),
+        "samples_per_second": total / wall,
+        "wall_seconds": wall,
+        "golden_map": {"rho": 0.1767, "nu": 3.034},
+    }
+    if verbose:
+        print(f"{total} samples in {wall:.1f}s "
+              f"({out['samples_per_second']:.1f}/s); accept "
+              f"{out['accept_rate'].mean():.2f}; sample-MAP rho "
+              f"{out['map_rho']:.4f} nu {out['map_nu']:.3f} "
+              f"(golden 0.1767 / 3.034); nu median {out['nu_mode']:.3f}")
+    checkpoint.save_results(out, results_path, verbose=verbose)
+    return out
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--num-points", type=int, default=30)
     p.add_argument("--num-chains", type=int, default=8)
     p.add_argument("--num-samples", type=int, default=500)
     p.add_argument("--sampler", choices=("hmc", "nuts"), default="hmc")
+    p.add_argument("--nu", action="store_true",
+                   help="sample the full (eta, rho, nu) posterior at the "
+                        "golden MAP config (n=900, noise 0.05)")
     a = p.parse_args()
-    main(a.num_points, num_chains=a.num_chains, num_samples=a.num_samples,
-         sampler=a.sampler)
+    if a.nu:
+        main_nu(a.num_points, num_chains=a.num_chains,
+                num_samples=a.num_samples)
+    else:
+        main(a.num_points, num_chains=a.num_chains,
+             num_samples=a.num_samples, sampler=a.sampler)

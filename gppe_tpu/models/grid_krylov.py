@@ -104,6 +104,21 @@ def _factorize_chunk_matrixfree(points, rhos, nus, AB, k, s, nu_static,
             out = pallas_kernels.matern_matmat_multirho(
                 points, rhos, W, nu_static)
             return out.astype(W.dtype)
+
+        def tk2_pallas():
+            # trace(K_b^2) accumulated INSIDE the multirho kernel: one
+            # extra pass whose distance work is shared across the whole
+            # rho batch, vs the per-point re-derivation of the blocked
+            # XLA form (ADVICE r3: an O(B n^2) transcendental pass at
+            # setup otherwise)
+            B = rhos.shape[0]
+            dummy = jnp.zeros((B, n, 1), dtype=points.dtype)
+            _, tk2 = pallas_kernels.matern_matmat_multirho(
+                points, rhos, dummy, nu_static, return_frobenius=True)
+            return tk2.astype(jnp.float64 if jax.config.jax_enable_x64
+                              else jnp.float32)
+        return _factorize_common(points, rhos, nus, AB, k, s, bmv,
+                                 tk2_pallas)
     else:
         def bmv(W):
             def one(args):

@@ -242,14 +242,22 @@ def _matern_tile_from_r(r, nu: float):
         f"got {nu} (general nu uses the blocked XLA path)")
 
 
-def _multirho_kernel(inv_ref, pr_ref, pc_ref, v_ref, out_ref, *, nu, d,
-                     dot_mode):
+def _multirho_kernel(inv_ref, pr_ref, pc_ref, v_ref, out_ref, fro_ref, *,
+                     nu, d, dot_mode):
     """One distance tile, B Matern tiles: the (rho_b) batch differs only
     by a scale on the distance, so the O(TM*TN*d) pairwise work and the
     sqrt are computed ONCE and each rho pays only one exp + one MXU dot.
     This is what makes the grid-batched Krylov factorization
     (models.grid_krylov) matrix-free at the same per-rho cost as the
-    single-kernel matvec."""
+    single-kernel matvec.
+
+    ``fro_ref`` (B, 8, 128) per row-block accumulates sum(K_b^2) per rho
+    alongside the matvec (the scalar spread over one (8, 128) register
+    tile — Mosaic requires (8, 128)-aligned output blocks): trace(K^2)
+    is the control-variate moment every grid engine needs, and riding
+    this kernel amortizes its distance pass across the whole rho batch
+    instead of re-deriving it per grid point (one extra VPU mul-add per
+    element next to the exp)."""
     j = pl.program_id(1)
     pr = pr_ref[:]            # (TM, 8) raw row points
     pc = pc_ref[:]            # (8, TN) raw col points (transposed)
@@ -263,14 +271,18 @@ def _multirho_kernel(inv_ref, pr_ref, pc_ref, v_ref, out_ref, *, nu, d,
     for b in range(B):
         k_tile = _matern_tile_from_r(r0 * inv_ref[0, b], nu)
         acc = _tile_dot(k_tile, v_ref[b], dot_mode)
+        fro = jnp.full((8, 128), jnp.sum(k_tile * k_tile) * (1.0 / 1024.0),
+                       dtype=jnp.float32)
 
         @pl.when(first)
-        def _(b=b, acc=acc):
+        def _(b=b, acc=acc, fro=fro):
             out_ref[b] = acc
+            fro_ref[b] = fro
 
         @pl.when(jnp.logical_not(first))
-        def _(b=b, acc=acc):
+        def _(b=b, acc=acc, fro=fro):
             out_ref[b] = out_ref[b] + acc
+            fro_ref[b] = fro_ref[b] + fro
 
 
 @functools.partial(jax.jit, static_argnames=("nu", "d", "tile", "dot_mode",
@@ -298,9 +310,17 @@ def _multirho_padded(inv_rho, pts_rows, pts_cols_t, V, nu, d, tile,
             pl.BlockSpec((B, tile, r_pad), lambda i, j: (0, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, tile, r_pad), lambda i, j: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, r_pad), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((B, tile, r_pad), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 8, 128), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_pad, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, (n_pad // tile) * 8, 128),
+                                 jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=4 * n_pad * (B * 2 * r_pad + 16),
@@ -312,7 +332,7 @@ def _multirho_padded(inv_rho, pts_rows, pts_cols_t, V, nu, d, tile,
 
 
 def matern_matmat_multirho(points, rhos, V, nu, tile=None, dot_mode=None,
-                           interpret=False):
+                           interpret=False, return_frobenius=False):
     """K(rho_b) @ V_b for a batch of isotropic correlation scales, fused.
 
     ``points``: (n, d) RAW (unscaled) points; ``rhos``: (B,) scalar
@@ -323,6 +343,10 @@ def matern_matmat_multirho(points, rhos, V, nu, tile=None, dot_mode=None,
     MXU dot — the engine of the matrix-free grid-batched Krylov path
     (models.grid_krylov; the reference rebuilds K per grid point instead,
     examples/FindOptimalCovarianceParameters.py:87-117).
+
+    ``return_frobenius=True`` additionally returns trace(K_b^2) (B,) —
+    accumulated inside the kernel, so the whole rho batch shares one
+    distance pass (the control-variate moment of the grid engines).
     """
     tile = DEFAULT_TILE if tile is None else tile
     dot_mode = DEFAULT_DOT_MODE if dot_mode is None else dot_mode
@@ -339,8 +363,13 @@ def matern_matmat_multirho(points, rhos, V, nu, tile=None, dot_mode=None,
         pts8 = _pad_points(points, n_pad, d)
         V_pad = jnp.zeros((B, n_pad, r_pad), dtype=jnp.float32)
         V_pad = V_pad.at[:, :n, :r].set(V)
-        out = _multirho_padded(inv, pts8, pts8.T, V_pad, float(nu), d,
-                               tile, dot_mode, interpret)
+        out, fro = _multirho_padded(inv, pts8, pts8.T, V_pad, float(nu),
+                                    d, tile, dot_mode, interpret)
+        if return_frobenius:
+            # each far padded point contributes exactly its unit
+            # self-correlation (pad-pad and pad-real pairs are ~0)
+            tk2 = fro.reshape(B, -1).sum(axis=1) - (n_pad - n)
+            return out[:, :n, :r], tk2
         return out[:, :n, :r]
 
 

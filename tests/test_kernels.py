@@ -134,3 +134,26 @@ def test_bf16x3_symmetry():
     a3, b3 = pairing("bf16x3")
     assert abs(a3 - b3) / scale < 1e-4        # compensated: bounded skew
     assert abs(a3 - a) / scale < 1e-4         # and accurate vs exact
+
+
+def test_multirho_frobenius_output():
+    """trace(K_b^2) accumulated inside the multirho kernel (ADVICE r3:
+    shares one distance pass across the rho batch) vs dense numpy."""
+    from gppe_tpu.ops import pallas_kernels
+
+    rng = np.random.RandomState(3)
+    n = 300
+    pts = rng.rand(n, 2)
+    rhos = np.asarray([0.07, 0.15])
+    V = rng.standard_normal((2, n, 3)).astype(np.float32)
+    out, tk2 = pallas_kernels.matern_matmat_multirho(
+        pts, rhos, V, 0.5, tile=128, interpret=True,
+        return_frobenius=True)
+    for b, rho in enumerate(rhos):
+        d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)) / rho
+        K = np.exp(-d)
+        np.testing.assert_allclose(float(tk2[b]), np.sum(K * K),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(out[b]),
+                                   K @ V[b].astype(np.float64),
+                                   rtol=1e-4, atol=1e-4)
