@@ -37,7 +37,8 @@ class HMCResult(NamedTuple):
         resume_hmc): continuing from this state reproduces the
         uninterrupted chain exactly (adaptation is frozen after warmup,
         so a num_warmup=0 restart with the adapted step size and mass
-        matrix is bit-identical to keeping the scan running)."""
+        matrix reproduces the chain the running scan would have produced
+        to XLA scheduling rounding, ~1e-13 relative on f64)."""
         return {
             "theta": self.final_theta,
             "key": self.final_key,
@@ -47,71 +48,88 @@ class HMCResult(NamedTuple):
 
 
 def _leapfrog(grad_fn, theta, momentum, step_size, inv_mass, num_steps):
+    """Velocity-Verlet with fused half-kicks: the textbook per-step
+    (half-kick, drift, half-kick) evaluates 2L gradients; chaining the
+    adjacent half-kicks into full kicks gives the identical trajectory
+    at L+1 gradients — the gradient IS the whole cost for the
+    kernel-hyperparameter targets (a Cholesky factorization per
+    evaluation)."""
+    mo = momentum + 0.5 * step_size * grad_fn(theta)
+
     def body(_, carry):
         th, mo = carry
-        mo = mo + 0.5 * step_size * grad_fn(th)
         th = th + step_size * inv_mass * mo
-        mo = mo + 0.5 * step_size * grad_fn(th)
+        mo = mo + step_size * grad_fn(th)
         return (th, mo)
-    return jax.lax.fori_loop(0, num_steps, body, (theta, momentum))
+
+    theta, mo = jax.lax.fori_loop(0, num_steps - 1, body, (theta, mo))
+    theta = theta + step_size * inv_mass * mo
+    mo = mo + 0.5 * step_size * grad_fn(theta)
+    return (theta, mo)
+
+
+def _hmc_carry0(log_prob_fn, init_theta, key, init_step_size,
+                init_inv_mass):
+    """Initial sampler carry (a pytree dict) — everything the chain
+    needs to continue, including the dual-averaging and Welford
+    adaptation state, so a run can be split across device programs."""
+    chains, dim = init_theta.shape
+    dtype = init_theta.dtype
+    lp0 = jax.vmap(lambda th: log_prob_fn(th).astype(dtype))(init_theta)
+    iss = jnp.broadcast_to(jnp.asarray(init_step_size, dtype), (chains,))
+    return {
+        "theta": init_theta,
+        "lp": lp0,
+        "key": key,
+        "mu": jnp.log(10.0 * iss),
+        # log_eps_bar starts at log(init_step_size): during warmup the
+        # first dual-averaging step overwrites it fully (eta_1 = 1), and
+        # with num_warmup = 0 it IS the fixed post-warmup step size —
+        # the resume contract
+        "log_eps": jnp.log(iss),
+        "log_eps_bar": jnp.log(iss),
+        "h_bar": jnp.zeros(chains, dtype),
+        "w_mean": jnp.zeros((chains, dim), dtype),
+        "w_m2": jnp.zeros((chains, dim), dtype),
+        "inv_mass": (jnp.ones((chains, dim), dtype)
+                     if init_inv_mass is None else jnp.broadcast_to(
+                         jnp.asarray(init_inv_mass, dtype),
+                         (chains, dim))),
+        "n_accept": jnp.zeros(chains, dtype),
+    }
 
 
 @partial(jax.jit,
-         static_argnames=("log_prob_fn", "num_samples", "num_warmup",
-                          "num_leapfrog"))
-def hmc_sample(log_prob_fn, init_theta, key, num_samples=1000,
-               num_warmup=500, num_leapfrog=16, init_step_size=0.1,
-               target_accept=0.8, init_inv_mass=None):
-    """Run HMC. ``init_theta``: (chains, dim); ``log_prob_fn`` maps (dim,)
-    -> scalar and is vmapped internally. Returns HMCResult.
-
-    ``init_step_size`` may be a scalar or a per-chain (chains,) array;
-    ``init_inv_mass`` an optional (chains, dim) diagonal inverse-mass.
-    Passing a saved ``HMCResult.state()`` as (theta, key, step_size,
-    inv_mass) with ``num_warmup=0`` continues the chain exactly — see
-    :func:`resume_hmc`."""
-    chains, dim = init_theta.shape
-    dtype = init_theta.dtype
+         static_argnames=("log_prob_fn", "n_steps", "num_warmup",
+                          "num_leapfrog", "grad_mode"))
+def _hmc_chunk(log_prob_fn, carry, it0, n_steps, num_warmup,
+               num_leapfrog, target_accept, grad_mode):
+    """Advance the sampler ``n_steps`` GLOBAL steps starting at index
+    ``it0``. Warmup scheduling (dual averaging, the Welford window, the
+    mass switch) is driven by the global index, so one long run can be
+    split into many short device programs — required on the tunneled
+    chip, which faults single XLA programs that run much past ~2
+    minutes (see hmc_sample's chunk_steps)."""
+    chains, dim = carry["theta"].shape
+    dtype = carry["theta"].dtype
 
     def _lp(th):
         # keep scan carries in the sampler-state dtype even when the
         # target computes in another precision
         return log_prob_fn(th).astype(dtype)
 
+    grad_fn = {"rev": jax.grad, "fwd": jax.jacfwd}[grad_mode]
+
     def _grad(th):
-        return jax.grad(log_prob_fn)(th).astype(dtype)
+        return grad_fn(log_prob_fn)(th).astype(dtype)
 
-    lp0 = jax.vmap(_lp)(init_theta)
-
-    # dual averaging state (per chain)
-    iss = jnp.broadcast_to(jnp.asarray(init_step_size, dtype), (chains,))
-    mu = jnp.log(10.0 * iss)
-    log_eps = jnp.log(iss)
-    # log_eps_bar starts at log(init_step_size): during warmup the first
-    # dual-averaging step overwrites it fully (eta_1 = 1), and with
-    # num_warmup = 0 it IS the fixed post-warmup step size — the resume
-    # contract
-    log_eps_bar = jnp.log(iss)
-    h_bar = jnp.zeros(chains, dtype)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
-    # Welford accumulators for the diagonal mass matrix
-    w_mean = jnp.zeros((chains, dim), dtype)
-    w_m2 = jnp.zeros((chains, dim), dtype)
-
-    if init_inv_mass is None:
-        inv_mass0 = jnp.ones((chains, dim), dtype)
-    else:
-        inv_mass0 = jnp.broadcast_to(
-            jnp.asarray(init_inv_mass, dtype), (chains, dim))
-
-    total = num_warmup + num_samples
-
-    def step(carry, it):
-        (theta, lp, key, log_eps, log_eps_bar, h_bar, w_mean, w_m2,
-         inv_mass, n_accept) = carry
-        key, k_mo, k_u = jax.random.split(key, 3)
-        eps = jnp.exp(log_eps)
+    def step(c, it):
+        key, k_mo, k_u = jax.random.split(c["key"], 3)
+        eps = jnp.exp(c["log_eps"])
+        inv_mass = c["inv_mass"]
+        theta, lp = c["theta"], c["lp"]
 
         # momentum ~ N(0, M); M = 1/inv_mass (diagonal)
         mo = (jax.random.normal(k_mo, (chains, dim), dtype)
@@ -136,55 +154,109 @@ def hmc_sample(log_prob_fn, init_theta, key, num_samples=1000,
         in_warmup = it < num_warmup
         # --- dual averaging (warmup only) -------------------------------
         t = it.astype(dtype) + 1.0
-        h_bar_n = ((1.0 - 1.0 / (t + t0)) * h_bar
+        h_bar_n = ((1.0 - 1.0 / (t + t0)) * c["h_bar"]
                    + (target_accept - accept_prob) / (t + t0))
-        log_eps_n = mu - jnp.sqrt(t) / gamma * h_bar_n
+        log_eps_n = c["mu"] - jnp.sqrt(t) / gamma * h_bar_n
         eta_t = t ** (-kappa)
-        log_eps_bar_n = eta_t * log_eps_n + (1 - eta_t) * log_eps_bar
-        log_eps = jnp.where(in_warmup, log_eps_n, log_eps_bar)
-        log_eps_bar = jnp.where(in_warmup, log_eps_bar_n, log_eps_bar)
-        h_bar = jnp.where(in_warmup, h_bar_n, h_bar)
+        log_eps_bar_n = eta_t * log_eps_n + (1 - eta_t) * c["log_eps_bar"]
+        log_eps = jnp.where(in_warmup, log_eps_n, c["log_eps_bar"])
+        log_eps_bar = jnp.where(in_warmup, log_eps_bar_n,
+                                c["log_eps_bar"])
+        h_bar = jnp.where(in_warmup, h_bar_n, c["h_bar"])
 
         # --- Welford mass accumulation over the 2nd warmup half ---------
         in_window = jnp.logical_and(it >= num_warmup // 2, in_warmup)
         cnt = jnp.maximum(it - num_warmup // 2 + 1, 1).astype(dtype)
-        delta = theta - w_mean
-        w_mean_n = w_mean + delta / cnt
-        w_m2_n = w_m2 + delta * (theta - w_mean_n)
-        w_mean = jnp.where(in_window, w_mean_n, w_mean)
-        w_m2 = jnp.where(in_window, w_m2_n, w_m2)
+        delta = theta - c["w_mean"]
+        w_mean_n = c["w_mean"] + delta / cnt
+        w_m2_n = c["w_m2"] + delta * (theta - w_mean_n)
+        w_mean = jnp.where(in_window, w_mean_n, c["w_mean"])
+        w_m2 = jnp.where(in_window, w_m2_n, c["w_m2"])
         # switch in the adapted mass at the end of warmup
         var = w_m2 / jnp.maximum(cnt - 1.0, 1.0)
         var = jnp.where(var > 1e-10, var, 1.0)
         inv_mass = jnp.where(it == num_warmup - 1, var, inv_mass)
 
-        n_accept = n_accept + jnp.where(it >= num_warmup,
-                                        accept.astype(dtype), 0.0)
-        carry = (theta, lp, key, log_eps, log_eps_bar, h_bar, w_mean,
-                 w_m2, inv_mass, n_accept)
-        return carry, (theta, lp)
+        n_accept = c["n_accept"] + jnp.where(it >= num_warmup,
+                                             accept.astype(dtype), 0.0)
+        c_out = {"theta": theta, "lp": lp, "key": key, "mu": c["mu"],
+                 "log_eps": log_eps, "log_eps_bar": log_eps_bar,
+                 "h_bar": h_bar, "w_mean": w_mean, "w_m2": w_m2,
+                 "inv_mass": inv_mass, "n_accept": n_accept}
+        return c_out, (theta, lp)
 
-    carry0 = (init_theta, lp0, key, log_eps, log_eps_bar, h_bar, w_mean,
-              w_m2, inv_mass0, jnp.zeros(chains, dtype))
-    carry, (thetas, lps) = jax.lax.scan(step, carry0,
-                                        jnp.arange(total))
-    (theta, lp, key, log_eps, log_eps_bar, h_bar, w_mean, w_m2, inv_mass,
-     n_accept) = carry
-    return HMCResult(samples=thetas[num_warmup:],
-                     log_probs=lps[num_warmup:],
-                     accept_rate=n_accept / num_samples,
-                     step_size=jnp.exp(log_eps),
-                     inv_mass=inv_mass,
-                     final_theta=theta,
-                     final_key=key)
+    its = jnp.arange(n_steps) + it0
+    carry, (thetas, lps) = jax.lax.scan(step, carry, its)
+    return carry, thetas, lps
+
+
+def hmc_sample(log_prob_fn, init_theta, key, num_samples=1000,
+               num_warmup=500, num_leapfrog=16, init_step_size=0.1,
+               target_accept=0.8, init_inv_mass=None, grad_mode="rev",
+               chunk_steps=None):
+    """Run HMC. ``init_theta``: (chains, dim); ``log_prob_fn`` maps (dim,)
+    -> scalar and is vmapped internally. Returns HMCResult.
+
+    ``init_step_size`` may be a scalar or a per-chain (chains,) array;
+    ``init_inv_mass`` an optional (chains, dim) diagonal inverse-mass.
+    Passing a saved ``HMCResult.state()`` as (theta, key, step_size,
+    inv_mass) with ``num_warmup=0`` continues the chain exactly — see
+    :func:`resume_hmc`.
+
+    ``grad_mode``: "rev" (default, jax.grad) or "fwd" (jax.jacfwd) —
+    forward mode pays dim tangent passes but stores NO loop residuals;
+    required when the target runs long fixed-trip loops over (n, n)
+    arrays (the traced-nu Bessel kernel: reverse mode materializes ~200
+    iterations x n^2 residuals and OOMs HBM at n = 900).
+
+    ``chunk_steps``: when set, the scan is split into device programs of
+    at most this many steps, with the FULL adaptation state (dual
+    averaging, Welford window, global step index) carried across
+    programs — warmup continues seamlessly. Use for expensive targets on
+    backends that bound single-program runtime (the tunneled TPU faults
+    past ~2 minutes); pure overhead otherwise."""
+    init_theta = jnp.asarray(init_theta)
+    carry = _hmc_carry0(log_prob_fn, init_theta, key, init_step_size,
+                        init_inv_mass)
+    total = num_warmup + num_samples
+    if chunk_steps is None or chunk_steps >= total:
+        carry, thetas, lps = _hmc_chunk(
+            log_prob_fn, carry, 0, total, num_warmup, num_leapfrog,
+            target_accept, grad_mode)
+        samples, lp_out = thetas[num_warmup:], lps[num_warmup:]
+    else:
+        smp, lpl = [], []
+        it0 = 0
+        while it0 < total:
+            n = int(min(chunk_steps, total - it0))
+            carry, thetas, lps = _hmc_chunk(
+                log_prob_fn, carry, it0, n, num_warmup, num_leapfrog,
+                target_accept, grad_mode)
+            jax.block_until_ready(thetas)
+            keep = max(num_warmup - it0, 0)
+            if keep < n:
+                smp.append(thetas[keep:])
+                lpl.append(lps[keep:])
+            it0 += n
+        samples = jnp.concatenate(smp, axis=0)
+        lp_out = jnp.concatenate(lpl, axis=0)
+    return HMCResult(samples=samples,
+                     log_probs=lp_out,
+                     accept_rate=carry["n_accept"] / num_samples,
+                     step_size=jnp.exp(carry["log_eps"]),
+                     inv_mass=carry["inv_mass"],
+                     final_theta=carry["theta"],
+                     final_key=carry["key"])
+
 
 
 def resume_hmc(log_prob_fn, state, num_samples, num_leapfrog=16):
     """Continue a chain from a saved ``HMCResult.state()`` dict.
 
     No warmup, adaptation frozen at the saved step size / inverse mass:
-    the continued samples are exactly those the uninterrupted run would
-    have produced (tested bit-identical on the f64 CPU path)."""
+    the continued samples are those the uninterrupted run would have
+    produced, up to last-ulp XLA scheduling rounding (tested at 1e-10
+    on the f64 CPU path)."""
     return hmc_sample(log_prob_fn, jnp.asarray(state["theta"]),
                       jnp.asarray(state["key"]),
                       num_samples=num_samples, num_warmup=0,
@@ -264,7 +336,7 @@ def sample_posterior_nu(points, z, X, num_chains=8, num_samples=500,
                         log10_eta_bounds=(-3.0, 4.0),
                         log10_rho_bounds=(-2.0, 0.0),
                         nu_bounds=(1.0, 25.0), mesh=None,
-                        resume_state=None):
+                        resume_state=None, chunk_steps=None):
     """Sample the FULL (log10 eta, log10 rho, nu) posterior — inference
     over the kernel-order parameter the reference's flagship sweep
     covers (nu in [1, 25], FindOptimalCovarianceParameters.py:664-666)
@@ -309,8 +381,62 @@ def sample_posterior_nu(points, z, X, num_chains=8, num_samples=500,
             mesh, jax.sharding.PartitionSpec(PROBE_AXIS, None))
         init = jax.device_put(init, sharding)
 
+    # forward-mode gradients: reverse mode through the Bessel loops
+    # stores ~200 fixed-trip iterations of (n, n) residuals (31 GB HBM
+    # at n = 900, 4 chains); 3 tangent passes store nothing.
+    # chunk_steps splits the scan into short device programs (full
+    # adaptation state carried across) — at n = 900 a step costs
+    # ~0.8 s on one chip and the tunneled backend faults single
+    # programs much past ~2 minutes.
     res = hmc_sample(log_post, init, k_run, num_samples=num_samples,
-                     num_warmup=num_warmup, num_leapfrog=num_leapfrog)
+                     num_warmup=num_warmup, num_leapfrog=num_leapfrog,
+                     grad_mode="fwd", chunk_steps=chunk_steps)
+    return res._replace(samples=u_to_theta(res.samples))
+
+
+def sample_profile_posterior_rho_nu(points, z, X, num_chains=8,
+                                    num_samples=400, num_warmup=200,
+                                    num_leapfrog=10, key=0,
+                                    log_prior="reference",
+                                    log10_eta_bounds=(-3.0, 4.0),
+                                    log10_rho_bounds=(-1.3, -0.3),
+                                    nu_bounds=(1.0, 25.0),
+                                    chunk_steps=None, eta_grid=29,
+                                    golden_iters=22):
+    """HMC over (log10 rho, nu) on the ETA-PROFILED likelihood surface —
+    the sampler counterpart of the reference's MAP sweep (its grid
+    maximizes eta out per (rho, nu) before arg-maxing; golden
+    data/OptimalCovariance_WithPrior.pickle puts the mode at
+    rho ~ 0.1767, nu ~ 3.034). The joint (eta, rho, nu) posterior
+    (sample_posterior_nu) legitimately concentrates on the high-eta
+    plateau at this config — see
+    kernel_posterior.make_profiled_rho_nu_posterior for the analysis.
+
+    ``log_prior="reference"``: inverse-square priors on rho and nu/25
+    (reference FindOptimalCovarianceParameters.py:119-146). Returns an
+    HMCResult with samples (S, C, 2) in (log10 rho, nu)."""
+    from .kernel_posterior import make_profiled_rho_nu_posterior
+    from .priors import inverse_square_log_prior
+
+    if log_prior == "reference":
+        def log_prior(rho, nu):  # noqa: F811
+            return (inverse_square_log_prior(rho)
+                    + inverse_square_log_prior(nu, scale=25.0))
+
+    log_post, u_to_theta = make_profiled_rho_nu_posterior(
+        points, z, X, log10_eta_bounds=log10_eta_bounds,
+        log10_rho_bounds=log10_rho_bounds, nu_bounds=nu_bounds,
+        log_prior=log_prior, eta_grid=eta_grid,
+        golden_iters=golden_iters)
+
+    rng = jax.random.PRNGKey(key)
+    k_init, k_run = jax.random.split(rng)
+    init = 0.5 * jax.random.normal(k_init, (num_chains, 2))
+    init = jnp.asarray(init, dtype=jnp.result_type(0.0))
+
+    res = hmc_sample(log_post, init, k_run, num_samples=num_samples,
+                     num_warmup=num_warmup, num_leapfrog=num_leapfrog,
+                     grad_mode="fwd", chunk_steps=chunk_steps)
     return res._replace(samples=u_to_theta(res.samples))
 
 

