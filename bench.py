@@ -18,7 +18,7 @@ every metric to an environment timeout, BENCH_r03.json rc 124):
   section finishes — a harness that captures the output tail gets
   everything completed so far even if the process is killed mid-run;
 * a global wall-clock budget (env ``GPPE_BENCH_BUDGET_S``, default
-  900 s) is enforced twice: between sections (skip what cannot fit,
+  1200 s) is enforced twice: between sections (skip what cannot fit,
   with a ``bench_skipped_*`` line) and by a watchdog thread that, if a
   single XLA compile blocks past the budget, prints the aggregate of
   whatever completed plus a ``bench_truncated`` marker and exits 0;
@@ -64,7 +64,7 @@ V5E_F32_PEAK_TFLOPS = 49.2   # 197 TFLOP/s bf16 / 4 (f32 multiplier passes)
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _T0 = time.monotonic()
-_BUDGET_S = float(os.environ.get("GPPE_BENCH_BUDGET_S", "900"))
+_BUDGET_S = float(os.environ.get("GPPE_BENCH_BUDGET_S", "1200"))
 _WATCHDOG_GRACE_S = 45.0
 
 _EMITTED = []
@@ -531,8 +531,8 @@ SECTIONS = [
     ("n4096", 160.0, sec_n4096),
     ("sparse_live", 300.0, sec_sparse_live),       # internal per-N checks
     ("pallas_matvec", 90.0, sec_pallas_matvec),
+    ("posterior_large", 260.0, sec_posterior_large),  # BASELINE config 5
     ("grid_krylov", 200.0, sec_grid_krylov),
-    ("posterior_large", 260.0, sec_posterior_large),
     ("ring_allgather", 150.0, sec_ring_allgather),
     ("hmc_n900", 240.0, sec_hmc_n900),             # internal checks too
 ]
