@@ -53,47 +53,6 @@ import jax.numpy as jnp
 from ..ops import stochastic
 
 
-@partial(jax.jit,
-         static_argnames=("k", "s", "nu", "use_pallas", "block_rows"))
-def _factorize_node(points, scale, AB, k, s, nu, use_pallas, block_rows):
-    """Lanczos-factorize K(scale) against AB = [z, X, probes].
-
-    ``scale`` is TRACED (one compiled program serves every rho node).
-    Returns (alphas (C, k), betas (C, k-1), U (s, k, s), G (s, s, k, k),
-    trace_K2) with C = AB.shape[1].
-    """
-    from ..ops import operators
-
-    if use_pallas:
-        from ..ops import pallas_kernels
-
-        def matvec(W):
-            return pallas_kernels.matern_matmat(points, scale, W, nu)
-    else:
-        def matvec(W):
-            return operators._matern_matmat_blocked(points, scale, W, nu,
-                                                    block_rows)
-
-    alphas, betas, V = stochastic.lanczos(matvec, AB, k,
-                                          reorthogonalize=True)
-    # f64-accumulated projections (stochastic.gram_f64/matmul_f64):
-    # f32 O(n) reductions bias the Ritz math by ~sqrt(n)*eps
-    Vs = V[:, :s]                                   # (k, s, n)
-    n_ = Vs.shape[-1]
-    U = stochastic.matmul_f64(
-        Vs.reshape(k * s, n_), AB[:, :s]).reshape(
-        k, s, s).transpose(1, 0, 2)
-    Vm = jnp.transpose(Vs, (1, 0, 2)).reshape(s * k, -1)
-    G = stochastic.gram_f64(Vm).reshape(
-        s, k, s, k).transpose(0, 2, 1, 3)
-    # probe overlaps with the deflation chain's basis (column s):
-    # P[a, i] = V_defl[a] . probe_i — the one-pass deflation inputs
-    P = stochastic.matmul_f64(V[:, s], AB[:, s + 1:])
-    tK2 = operators._matern_frobenius2_blocked(points, scale, nu,
-                                               block_rows)
-    return alphas, betas, U, G, P, tK2
-
-
 def _cholesky_solve_small(A, b):
     """Batched SPD solve A x = b + log det A via an unrolled Cholesky.
 
@@ -214,27 +173,62 @@ class KrylovPosteriorSurface:
         G_all = np.empty((B, self.s, self.s, self.k, self.k))
         P_all = np.empty((B, self.k, self.p))
         tK2_all = np.empty(B)
-        for b, lrho in enumerate(nodes):
-            rho = 10.0 ** lrho
-            if verbose:
-                print(f"krylov-posterior: node {b + 1}/{B} "
-                      f"rho={rho:.5g} (n={self.n}, k={self.k})")
-            if operator_factory is not None:
+        if operator_factory is not None:
+            for b, lrho in enumerate(nodes):
+                rho = 10.0 ** lrho
+                if verbose:
+                    print(f"krylov-posterior: node {b + 1}/{B} "
+                          f"rho={rho:.5g} (n={self.n}, k={self.k})")
                 op = operator_factory(rho)
                 al, be, U, G, P = _factorize_operator(op, AB, self.k,
                                                       self.s)
-                tK2 = float(op.trace_pow(2))
-            else:
-                al, be, U, G, P, tK2 = _factorize_node(
-                    pts_dev, jnp.asarray(rho, dtype=dtype), AB, self.k,
-                    self.s, self.nu, use_pallas,
+                al_all[b] = np.asarray(al, dtype=np.float64)
+                be_all[b] = np.asarray(be, dtype=np.float64)
+                U_all[b] = np.asarray(U, dtype=np.float64)
+                G_all[b] = np.asarray(G, dtype=np.float64)
+                P_all[b] = np.asarray(P, dtype=np.float64)
+                tK2_all[b] = float(op.trace_pow(2))
+        else:
+            # batch the rho nodes through the grid-Krylov factorization
+            # (r4): the multi-rho Pallas kernel computes each pairwise-
+            # distance tile ONCE per Lanczos step and shares it across
+            # the node batch (rho only rescales distance), and the whole
+            # chunk is one program + one host transfer instead of B.
+            # Chunked so the live Lanczos basis (k, n, B_c * C) stays
+            # under ~3 GB.
+            from .grid_krylov import _factorize_chunk_matrixfree
+
+            C = AB.shape[1]
+            itemsize = jnp.dtype(dtype).itemsize
+            bytes_per_node = self.k * self.n * C * itemsize
+            # the live Lanczos basis is the dominant allocation; leave
+            # headroom for its reorthogonalization temporaries (~6 GB of
+            # the 16 GB HBM budget). More nodes per chunk = more shared
+            # distance passes in the multirho kernel.
+            node_chunk = max(1, int((6 << 30) // max(bytes_per_node, 1)))
+            nu_static = (self.nu if self.nu in (0.5, 1.5, 2.5)
+                         or self.nu >= 100.0 else None)
+            use_pallas = use_pallas and nu_static is not None
+            for start in range(0, B, node_chunk):
+                stop = min(start + node_chunk, B)
+                if verbose:
+                    print(f"krylov-posterior: nodes {start}..{stop - 1}"
+                          f"/{B} batched (n={self.n}, k={self.k}, "
+                          f"{'pallas' if use_pallas else 'xla'})")
+                rhos_c = jnp.asarray(10.0 ** nodes[start:stop],
+                                     dtype=dtype)
+                nus_c = jnp.full(stop - start, self.nu, dtype=dtype)
+                al, be, U, G, P, tK2 = _factorize_chunk_matrixfree(
+                    pts_dev, rhos_c, nus_c, AB, self.k, self.s,
+                    nu_static, use_pallas,
                     int(min(block_rows, self.n)))
-            al_all[b] = np.asarray(al, dtype=np.float64)
-            be_all[b] = np.asarray(be, dtype=np.float64)
-            U_all[b] = np.asarray(U, dtype=np.float64)
-            G_all[b] = np.asarray(G, dtype=np.float64)
-            P_all[b] = np.asarray(P, dtype=np.float64)
-            tK2_all[b] = float(tK2)
+                sl = slice(start, stop)
+                al_all[sl] = np.asarray(al, dtype=np.float64)
+                be_all[sl] = np.asarray(be, dtype=np.float64)
+                U_all[sl] = np.asarray(U, dtype=np.float64)
+                G_all[sl] = np.asarray(G, dtype=np.float64)
+                P_all[sl] = np.asarray(P, dtype=np.float64)
+                tK2_all[sl] = np.asarray(tK2, dtype=np.float64)
 
         self._build_ritz(al_all, be_all, U_all, G_all, P_all, tK2_all,
                          rhs_norms, probe_norm2)
