@@ -39,6 +39,20 @@ class NUTSResult(NamedTuple):
     inv_mass: jnp.ndarray       # (chains, dim)
     mean_tree_depth: jnp.ndarray  # (chains,)
     divergences: jnp.ndarray    # (chains,) count in the sampling phase
+    final_theta: jnp.ndarray    # (chains, dim) raw (unconstrained) state
+    final_key: jnp.ndarray      # PRNG key after the last step
+
+    def state(self):
+        """Chain state for checkpoint/resume (same contract as
+        hmc.HMCResult.state): a num_warmup=0 restart with the adapted
+        step size and mass matrix continues the chain the uninterrupted
+        scan would have produced — see :func:`resume_nuts`."""
+        return {
+            "theta": self.final_theta,
+            "key": self.final_key,
+            "step_size": self.step_size,
+            "inv_mass": self.inv_mass,
+        }
 
 
 def _popcount(n):
@@ -291,10 +305,15 @@ def _nuts_transition(vg_fn, z0, lp0, grad0, key, eps, inv_mass, max_depth):
                           "max_depth"))
 def nuts_sample(log_prob_fn, init_theta, key, num_samples=1000,
                 num_warmup=500, max_depth=10, init_step_size=0.1,
-                target_accept=0.8):
+                target_accept=0.8, init_inv_mass=None):
     """Run NUTS. ``init_theta``: (chains, dim); ``log_prob_fn`` maps
     (dim,) -> scalar. Returns NUTSResult. Warmup adaptation (dual
-    averaging + Welford diagonal mass) mirrors hmc.hmc_sample."""
+    averaging + Welford diagonal mass) mirrors hmc.hmc_sample.
+
+    ``init_step_size`` may be a scalar or per-chain (chains,) array and
+    ``init_inv_mass`` a (chains, dim) diagonal inverse-mass: passing a
+    saved ``NUTSResult.state()`` with ``num_warmup=0`` continues the
+    chain (see :func:`resume_nuts`)."""
     chains, dim = init_theta.shape
     dtype = init_theta.dtype
 
@@ -309,15 +328,24 @@ def nuts_sample(log_prob_fn, init_theta, key, num_samples=1000,
 
     lp0, grad0 = jax.vmap(vg_fn)(init_theta)
 
-    mu = jnp.log(10.0 * init_step_size) * jnp.ones(chains, dtype)
-    log_eps = jnp.log(init_step_size) * jnp.ones(chains, dtype)
-    log_eps_bar = jnp.zeros(chains, dtype)
+    iss = jnp.broadcast_to(jnp.asarray(init_step_size, dtype), (chains,))
+    mu = jnp.log(10.0 * iss)
+    log_eps = jnp.log(iss)
+    # log_eps_bar starts at log(init_step_size): warmup overwrites it on
+    # the first dual-averaging step (eta_1 = 1), and with num_warmup = 0
+    # it IS the fixed post-warmup step size — the resume contract (the
+    # old zero init silently reset resumed runs to eps = 1)
+    log_eps_bar = jnp.log(iss)
     h_bar = jnp.zeros(chains, dtype)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
     w_mean = jnp.zeros((chains, dim), dtype)
     w_m2 = jnp.zeros((chains, dim), dtype)
-    inv_mass0 = jnp.ones((chains, dim), dtype)
+    if init_inv_mass is None:
+        inv_mass0 = jnp.ones((chains, dim), dtype)
+    else:
+        inv_mass0 = jnp.broadcast_to(
+            jnp.asarray(init_inv_mass, dtype), (chains, dim))
 
     total = num_warmup + num_samples
 
@@ -380,12 +408,28 @@ def nuts_sample(log_prob_fn, init_theta, key, num_samples=1000,
                       step_size=jnp.exp(log_eps),
                       inv_mass=inv_mass,
                       mean_tree_depth=sum_depth / num_samples,
-                      divergences=n_div)
+                      divergences=n_div,
+                      final_theta=theta,
+                      final_key=key)
+
+
+def resume_nuts(log_prob_fn, state, num_samples, max_depth=10):
+    """Continue NUTS chains from a saved ``NUTSResult.state()`` dict —
+    no warmup, adaptation frozen at the saved step size / inverse mass
+    (the parity counterpart of hmc.resume_hmc; utils.checkpoint
+    save_hmc_state/load_hmc_state round-trip this state too)."""
+    return nuts_sample(log_prob_fn, jnp.asarray(state["theta"]),
+                       jnp.asarray(state["key"]),
+                       num_samples=num_samples, num_warmup=0,
+                       max_depth=max_depth,
+                       init_step_size=jnp.asarray(state["step_size"]),
+                       init_inv_mass=jnp.asarray(state["inv_mass"]))
 
 
 def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
                      num_warmup=300, max_depth=8, key=0, init=None,
-                     log_prior=None, mesh=None, support_log10=None):
+                     log_prior=None, mesh=None, support_log10=None,
+                     resume_state=None):
     """NUTS over the (log10 eta, log10 rho) posterior of a GP dataset —
     the adaptive-trajectory counterpart of hmc.sample_posterior.
 
@@ -404,6 +448,13 @@ def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
     else:
         log_post = make_log_posterior(points, z, X, nu=nu,
                                       log_prior=log_prior)
+
+    if resume_state is not None:
+        res = resume_nuts(log_post, resume_state, num_samples,
+                          max_depth=max_depth)
+        if u_to_theta is not None:
+            res = res._replace(samples=u_to_theta(res.samples))
+        return res
 
     rng = jax.random.PRNGKey(key)
     k_init, k_run = jax.random.split(rng)
@@ -438,7 +489,7 @@ def sample_posterior_large(points, z, X, nu=0.5, num_chains=64,
                            log10_eta_bounds=(-3.0, 3.0),
                            log10_rho_bounds=(-1.5, -0.5),
                            surface=None, surface_kwargs=None,
-                           verbose=False):
+                           resume_state=None, verbose=False):
     """NUTS posterior over (log10 eta, log10 rho) at LARGE N — BASELINE
     config 5 verbatim ("NUTS, hundreds of chains, N ~ 10^5-2*10^5";
     reference outer-loop counterpart:
@@ -460,6 +511,11 @@ def sample_posterior_large(points, z, X, nu=0.5, num_chains=64,
             verbose=verbose, **(surface_kwargs or {}))
     log_post, u_to_theta = surface.make_bounded_log_posterior(
         log10_eta_bounds=log10_eta_bounds, log_prior=log_prior)
+
+    if resume_state is not None:
+        res = resume_nuts(log_post, resume_state, num_samples,
+                          max_depth=max_depth)
+        return res._replace(samples=u_to_theta(res.samples)), surface
 
     rng = jax.random.PRNGKey(key)
     k_init, k_run = jax.random.split(rng)

@@ -82,3 +82,32 @@ def test_bounded_support_sampling():
     assert s_n[:, 0].min() >= box[0][0] and s_n[:, 0].max() <= box[0][1]
     assert s_n[:, 1].min() >= box[1][0] and s_n[:, 1].max() <= box[1][1]
     np.testing.assert_allclose(s_n.mean(0), s_h.mean(0), atol=0.3)
+
+
+def test_nuts_resume_reproduces_uninterrupted_chain():
+    """NUTS resume parity with hmc.resume_hmc (r4): a num_warmup=0
+    restart from NUTSResult.state() continues the chain the
+    uninterrupted scan would have produced (to XLA scheduling rounding).
+    Also regression-pins the log_eps_bar init: the old zero init reset
+    resumed runs to step size 1.0 regardless of the adapted value."""
+    def log_prob(theta):
+        return -0.5 * jnp.sum(theta ** 2) - 0.1 * theta[0] * theta[1]
+
+    init = jax.random.normal(jax.random.PRNGKey(2), (4, 2))
+    key = jax.random.PRNGKey(9)
+
+    full = nuts.nuts_sample(log_prob, init, key, num_samples=30,
+                            num_warmup=25, max_depth=6)
+    part = nuts.nuts_sample(log_prob, init, key, num_samples=15,
+                            num_warmup=25, max_depth=6)
+    state = part.state()
+    # resumed step size must be the ADAPTED one, not 1.0
+    np.testing.assert_allclose(np.asarray(state["step_size"]),
+                               np.asarray(full.step_size), rtol=1e-10)
+    cont = nuts.resume_nuts(log_prob, state, num_samples=15, max_depth=6)
+    np.testing.assert_allclose(np.asarray(part.samples),
+                               np.asarray(full.samples[:15]),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cont.samples),
+                               np.asarray(full.samples[15:]),
+                               rtol=1e-8, atol=1e-8)
