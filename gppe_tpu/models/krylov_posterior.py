@@ -457,8 +457,10 @@ class KrylovPosteriorSurface:
 def _factorize_operator(op, AB, k, s):
     """Factorize an arbitrary operator (taper / user CSR) against AB."""
     matvec = op.matmat if hasattr(op, "matmat") else (lambda W: op @ W)
+    operands = getattr(op, "jit_operands", ())
     alphas, betas, V = stochastic.lanczos(matvec, AB, k,
-                                          reorthogonalize=True)
+                                          reorthogonalize=True,
+                                          operands=operands)
     Vs = V[:, :s]                                   # (k, s, n)
     n_ = Vs.shape[-1]
     U = stochastic.matmul_f64(

@@ -83,6 +83,7 @@ class KrylovProfileLikelihood:
 
         matvec = operator.matmat if hasattr(operator, "matmat") else (
             lambda V: operator @ V)
+        operands = getattr(operator, "jit_operands", ())
 
         # ONE merged Lanczos pass over [z, X, v_defl, probes]: the solve
         # block, the deflation chain, and the trace probes all ride the
@@ -98,7 +99,8 @@ class KrylovProfileLikelihood:
         v_defl = jax.random.normal(k_defl, (self.n, 1), dtype=dtype)
         AB = jnp.concatenate([A_dev, v_defl, probes], axis=1)
         alphas, betas, V = stochastic.lanczos(matvec, AB, lanczos_steps,
-                                              reorthogonalize=True)
+                                              reorthogonalize=True,
+                                              operands=operands)
         self.alphas = np.asarray(alphas[:self.s], dtype=np.float64)  # (s, k)
         self.betas = np.asarray(betas[:self.s], dtype=np.float64)    # (s, k-1)
 
@@ -292,46 +294,56 @@ class KrylovProfileLikelihood:
         _profile_likelihood.py:244-415), including the boundary-optimum
         fallback from the sign of d^2 lp/d eta^2 at eta = 0 (:352-405)
         when no bracket exists — low-noise data at large N picks the
-        correct boundary instead of defaulting to the der1 signs."""
+        correct boundary instead of defaulting to the der1 signs.
+
+        Root policy (r4): dense-scan the whole log grid FIRST, refine
+        EVERY adjacent sign change, and return the root with the best
+        profile log-likelihood. der1 -> 0^- asymptotically as eta ->
+        inf, so at the interval's right end its tiny true value can sit
+        below the f32 factorization's noise floor and read the wrong
+        sign — a bracket search that starts from the endpoints then
+        converges to a SPURIOUS tail crossing while the real optimum
+        sits decades earlier (observed at general-nu n=4096: fake root
+        eta ~ 21 at lp far below the true eta ~ 0.22). Every candidate
+        costs O(k^2) host math, so ranking by lp is free."""
         import warnings
 
         lo = float(np.log10(interval_eta[0]))
         hi = float(np.log10(interval_eta[1]))
 
-        found, bracket, fvals = root_finding.find_interval_with_sign_change(
-            self.der1, [lo, hi], num_bracket_trials, verbose=verbose)
-        if not found:
-            # Dense-scan fallback: der1 -> 0^- asymptotically as eta ->
-            # inf, so at the interval's right end its tiny true value can
-            # sit below the noise floor of the f32 Krylov factorization
-            # and read the wrong sign — while the crossing itself is
-            # perfectly resolvable a decade earlier. Scan a log grid and
-            # bracket the first adjacent sign change (each eval is O(k^2)
-            # host math, so this costs microseconds).
-            grid = np.linspace(lo, hi, 29)
-            vals = np.array([self.der1(g) for g in grid])
-            sign_change = np.nonzero(np.sign(vals[:-1])
-                                     != np.sign(vals[1:]))[0]
-            if sign_change.size:
-                i = int(sign_change[0])
-                found = True
-                bracket = [float(grid[i]), float(grid[i + 1])]
-                fvals = [float(vals[i]), float(vals[i + 1])]
-                if verbose:
-                    print(f"dense-scan bracket: {bracket} -> {fvals}")
-        if found:
-            # host-side Chandrupatla on the f64 scalar function
+        grid = np.linspace(lo, hi, 29)
+        vals = np.array([self.der1(g) for g in grid])
+        sign_change = np.nonzero(np.sign(vals[:-1])
+                                 != np.sign(vals[1:]))[0]
+
+        candidates = []
+        total_iters = 0
+        for i in sign_change:
+            i = int(i)
             root, iters = root_finding.chandrupatla_scalar(
-                self.der1, bracket[0], bracket[1], fvals[0], fvals[1],
+                self.der1, float(grid[i]), float(grid[i + 1]),
+                float(vals[i]), float(vals[i + 1]),
                 tol=tol, max_iter=max_iterations)
+            total_iters += int(iters)
             eta = 10.0 ** root
-            sigma = self.find_optimal_sigma(eta)
+            st = self._eta_stats(eta)
+            if not np.isfinite(st["zMz"]) or st["zMz"] <= 0:
+                continue                     # numerically garbage root
+            sigma = float(np.sqrt(st["zMz"] / (self.n - self.m)))
+            lp = self.log_likelihood(sigma, eta)
+            candidates.append((lp, eta, sigma))
+            if verbose:
+                print(f"root candidate: eta={eta:.5g} sigma={sigma:.5g} "
+                      f"lp={lp:.4f}")
+        if candidates:
+            lp, eta, sigma = max(candidates, key=lambda c: c[0])
             return {"sigma": sigma, "sigma0": float(np.sqrt(eta) * sigma),
                     "eta": float(eta), "success": True,
-                    "iterations": int(iters)}
+                    "iterations": total_iters}
 
-        # no sign change: boundary optimum from the sign of the second
-        # derivative at eta = 0 (reference _profile_likelihood.py:352-405)
+        # no sign change anywhere: boundary optimum from the sign of the
+        # second derivative at eta = 0 (reference :352-405)
+        fvals = [float(vals[0]), float(vals[-1])]
         f_left, f_right = fvals
         d2_zero = self.der2(0.0)
         if f_left > 0 and f_right > 0:

@@ -260,3 +260,158 @@ class SparseOperator:
     def dense(self):
         """Materialize (small-n exact paths / debugging)."""
         return jnp.asarray(self._host_csr.toarray(), dtype=self.dtype)
+
+
+class GridMaternOperator:
+    """Exact Matern matvec on a regular 2-D grid in O(n log n) by
+    circulant embedding + 2-D FFT.
+
+    A stationary kernel on a regular grid makes K block-Toeplitz-
+    Toeplitz: embed the (2 m_x - 1) x (2 m_y - 1) unique-offset kernel
+    table in a (2 m_x) x (2 m_y) circulant, precompute its real FFT
+    once, and every matvec is pad -> rfft2 -> multiply -> irfft2 ->
+    crop — EXACT (the embedding's possibly-indefinite spectrum is
+    irrelevant: only the top-left block, which IS K, is ever read).
+
+    Why it matters: the fused Pallas matvec is O(n^2) with closed-form
+    nu only; this is O(n log n) at ANY nu — the general-nu (Bessel)
+    branch evaluates the ~200-iteration K_nu loops on the O(m_x m_y)
+    offset table instead of n^2 pairs, so exact general-nu inference
+    reaches n = 2^20 on one chip (the reference's general-nu machinery
+    tops out at its n = 900 sweeps, and even its closed-form tapered
+    path needed 10,032 s there). The reference's grid configs
+    (examples/CompareVariousNumberOfPoints.py:259, structured
+    generate_points grids) are exactly this case.
+
+    API matches :class:`MaternOperator` (matvec/matmat/shape/dtype/
+    trace_pow); plug into KrylovProfileLikelihood / the samplers
+    unchanged. Points may be in ANY order — the operator infers the
+    grid and permutes internally.
+    """
+
+    def __init__(self, points, scale, nu=0.5, dtype=None):
+        import numpy as np
+
+        dtype = dtype or compute_dtype()
+        pts = np.asarray(points, dtype=np.float64)
+        n, d = pts.shape
+        if d != 2:
+            raise ValueError("GridMaternOperator supports 2-D grids "
+                             f"(got dimension {d})")
+        xs = np.unique(np.round(pts[:, 0], 9))
+        ys = np.unique(np.round(pts[:, 1], 9))
+        mx, my = xs.size, ys.size
+        if mx * my != n:
+            raise ValueError(
+                f"points do not form a full regular grid "
+                f"({mx} x {my} axis values vs n = {n})")
+        for ax in (xs, ys):
+            if ax.size > 1:
+                h = np.diff(ax)
+                # atol 3e-9: the 9-decimal grouping above injects +-1e-9
+                # jitter into adjacent differences
+                if not np.allclose(h, h.mean(), rtol=1e-5, atol=3e-9):
+                    raise ValueError("grid spacing is not uniform")
+        # spacing from the RAW coordinate extremes (the rounded axis
+        # values are only for grouping — deriving h from them injects a
+        # ~1e-9 coordinate bias into every kernel value)
+        hx = (float(pts[:, 0].max() - pts[:, 0].min()) / (mx - 1)
+              if mx > 1 else 1.0)
+        hy = (float(pts[:, 1].max() - pts[:, 1].min()) / (my - 1)
+              if my > 1 else 1.0)
+
+        # integer (row, col) of every point; raster position per point
+        ri = np.rint((pts[:, 0] - pts[:, 0].min()) / hx).astype(np.int64)
+        ci = np.rint((pts[:, 1] - pts[:, 1].min()) / hy).astype(np.int64)
+        raster = ri * my + ci
+        if np.unique(raster).size != n:
+            raise ValueError("duplicate grid points")
+        self._to_raster = jnp.asarray(np.argsort(raster), dtype=jnp.int32)
+        self._from_raster = jnp.asarray(raster, dtype=jnp.int32)
+
+        scale2 = np.broadcast_to(np.asarray(scale, dtype=np.float64),
+                                 (2,))
+        a = np.arange(mx) * (hx / scale2[0])
+        b = np.arange(my) * (hy / scale2[1])
+        dist_tab = np.sqrt(a[:, None] ** 2 + b[None, :] ** 2)
+        # kernel table on the HOST CPU in f64: general nu runs the
+        # ~200-iteration Bessel loops — native f64 there, pathological
+        # emulation on TPU (measured 59 s vs seconds at 1024^2 offsets)
+        from ..utils.config import host_device
+        with jax.default_device(host_device()):
+            k_tab = kernels.matern(
+                jax.device_put(dist_tab, host_device()), float(nu))
+            self._k_tab = np.asarray(k_tab, dtype=np.float64)  # (mx, my)
+
+        # circulant first row over (2mx, 2my): wrap offsets; the Nyquist
+        # rows/cols (index m) never contribute to the cropped block
+        kt = self._k_tab
+        c = np.zeros((2 * mx, 2 * my))
+        c[:mx, :my] = kt
+        c[:mx, my + 1:] = kt[:, 1:][:, ::-1]
+        c[mx + 1:, :my] = kt[1:, :][::-1, :]
+        c[mx + 1:, my + 1:] = kt[1:, 1:][::-1, ::-1]
+        self._chat = jnp.fft.rfft2(jnp.asarray(c, dtype=dtype))
+
+        self.n, self.nu = n, float(nu)
+        self.mx, self.my = mx, my
+        self.dtype = dtype
+        self._n = n
+        # consumed by stochastic.lanczos(operands=...): the FFT table
+        # must enter jitted programs as an ARGUMENT — closure-captured,
+        # it constant-folds into the program and the axon TPU compiler
+        # rejects FFTs on embedded complex constants (and the failed
+        # compile poisons the process)
+        self.jit_operands = (self._chat, self._to_raster,
+                             self._from_raster)
+
+    @property
+    def shape(self):
+        return (self._n, self._n)
+
+    def matmat(self, V, chat=None, to_raster=None, from_raster=None):
+        """K @ V. The optional operand overrides are the
+        ``jit_operands`` pass-through (see stochastic.lanczos)."""
+        V = jnp.asarray(V, dtype=self.dtype)
+        squeeze = V.ndim == 1
+        if squeeze:
+            V = V[:, None]
+        out = _grid_matern_matmat_fft(
+            V,
+            self._chat if chat is None else chat,
+            self._to_raster if to_raster is None else to_raster,
+            self._from_raster if from_raster is None else from_raster,
+            self.mx, self.my)
+        return out[:, 0] if squeeze else out
+
+    def matvec(self, v):
+        return self.matmat(v)
+
+    def trace_pow(self, exponent):
+        """Exact trace(K^p) for p in {0, 1, 2} from the offset table:
+        offset (a, b) occurs (m_x - |a|)(m_y - |b|) times (x2 for each
+        nonzero sign)."""
+        import numpy as np
+
+        if exponent == 0 or exponent == 1:
+            return jnp.asarray(float(self._n), dtype=self.dtype)
+        if exponent == 2:
+            fx = np.where(np.arange(self.mx) == 0, 1.0, 2.0) * (
+                self.mx - np.arange(self.mx))
+            fy = np.where(np.arange(self.my) == 0, 1.0, 2.0) * (
+                self.my - np.arange(self.my))
+            return float(np.einsum("a,b,ab->", fx, fy, self._k_tab ** 2))
+        raise ValueError("exponent must be 0, 1 or 2")
+
+
+@partial(jax.jit, static_argnames=("mx", "my"))
+def _grid_matern_matmat_fft(V, chat, to_raster, from_raster, mx, my):
+    n, r = V.shape
+    Vr = jnp.take(V, to_raster, axis=0).reshape(mx, my, r)
+    Vp = jnp.zeros((2 * mx, 2 * my, r), dtype=V.dtype)
+    Vp = Vp.at[:mx, :my].set(Vr)
+    F = jnp.fft.rfft2(Vp, axes=(0, 1))
+    Y = jnp.fft.irfft2(F * chat[..., None], s=(2 * mx, 2 * my),
+                       axes=(0, 1))
+    y = Y[:mx, :my].reshape(n, r).astype(V.dtype)
+    return jnp.take(y, from_raster, axis=0)

@@ -38,10 +38,17 @@ def _as_matvec(K):
 @partial(jax.jit, static_argnames=("matvec", "num_steps", "reorthogonalize",
                                    "precise_sums"))
 def lanczos(matvec, V0, num_steps, reorthogonalize=True,
-            precise_sums=None):
+            precise_sums=None, operands=()):
     """Batched Lanczos tridiagonalization.
 
     ``V0``: (n, p) starting block (columns are independent runs).
+    ``operands``: extra TRACED arrays forwarded to ``matvec(V,
+    *operands)`` — operators whose matvec consumes large precomputed
+    arrays (GridMaternOperator's FFT table) must receive them as
+    program ARGUMENTS: closure-captured device arrays constant-fold
+    into the jitted program, and the axon TPU compiler rejects (and
+    then poisons the process over) FFTs on embedded complex constants.
+    Engines read them from the operator's ``jit_operands`` attribute.
     Returns (alphas (p, k), betas (p, k-1), V (k, p, n)) with V the
     orthonormal Lanczos bases (needed for solve-reuse; slice [:0] if not).
     V's LAYOUT puts n last deliberately: TPU pads the minor dimension to
@@ -101,7 +108,8 @@ def lanczos(matvec, V0, num_steps, reorthogonalize=True,
         V, alphas, betas, q, q_prev, beta_prev = carry
         # pin the vector dtype: an operator that promotes (e.g. a f64
         # dense matrix under x64) must not flip the f32 iteration
-        w = jnp.transpose(matvec(jnp.transpose(q)).astype(dtype))  # (p, n)
+        w = jnp.transpose(
+            matvec(jnp.transpose(q), *operands).astype(dtype))  # (p, n)
         alpha = _dot_rows(q, w)                         # (p,) f64
         w = (w - alpha.astype(dtype)[:, None] * q
              - beta_prev[:, None] * q_prev)

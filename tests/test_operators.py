@@ -159,3 +159,61 @@ def test_sigma0_ols_exact(problem):
     r = np.asarray(z, float) - Q @ (Q.T @ np.asarray(z, float))
     want_np = np.sqrt((r @ r) / (X.shape[0] - X.shape[1]))
     np.testing.assert_allclose(got, want_np, rtol=1e-9)
+
+
+class TestGridMaternOperator:
+    """FFT (circulant-embedding) operator: exact O(n log n) matvec on
+    regular grids at ANY nu (r4 — the general-nu large-n path)."""
+
+    def test_matmat_matches_dense_any_nu(self):
+        for nu, shuffle in [(0.5, False), (1.5, True), (2.2, True),
+                            (25.0, False)]:
+            pts = data_utils.generate_points(12, dimension=2)
+            if shuffle:
+                pts = pts[np.random.RandomState(0).permutation(144)]
+            op = operators.GridMaternOperator(pts, 0.13, nu=nu)
+            K = np.asarray(assembly.dense_correlation(pts, 0.13, nu),
+                           dtype=np.float64)
+            V = np.random.default_rng(1).standard_normal((144, 3))
+            np.testing.assert_allclose(np.asarray(op.matmat(V)), K @ V,
+                                       atol=1e-11)
+            np.testing.assert_allclose(float(op.trace_pow(2)),
+                                       np.sum(K * K), rtol=1e-11)
+
+    def test_anisotropic_scale(self):
+        pts = data_utils.generate_points(9, dimension=2)
+        sc = np.asarray([0.1, 0.25])
+        op = operators.GridMaternOperator(pts, sc, nu=1.5)
+        K = np.asarray(assembly.dense_correlation(pts, sc, 1.5),
+                       dtype=np.float64)
+        v = np.random.default_rng(2).standard_normal(81)
+        np.testing.assert_allclose(np.asarray(op.matvec(v)), K @ v,
+                                   atol=1e-11)
+
+    def test_non_grid_points_rejected(self):
+        with pytest.raises(ValueError):
+            operators.GridMaternOperator(np.random.rand(50, 2), 0.1)
+
+    def test_krylov_engine_on_fft_operator_general_nu(self):
+        """The full profile-MLE engine through the FFT matvec at a
+        general (Bessel) nu — vs the exact spectral fit. The capability
+        the O(n^2) paths cannot reach at scale."""
+        import jax.numpy as jnp
+
+        pts = data_utils.generate_points(15, dimension=2)   # n=225
+        z = data_utils.generate_data(pts, 0.2)
+        X = data_utils.generate_basis_functions(pts, 2)
+        nu = 2.2
+        op = operators.GridMaternOperator(pts, 0.1, nu=nu)
+        eng = KrylovProfileLikelihood(op, X, z, lanczos_steps=60,
+                                      num_probes=32)
+        got = eng.fit()
+
+        K = np.asarray(assembly.dense_correlation(pts, 0.1, nu),
+                       dtype=np.float64)
+        data = dl.make_spectral_data(MixedCorrelation(jnp.asarray(K)),
+                                     X, z)
+        want = pl_mod.find_log_likelihood_der1_zeros(data, [1e-4, 1e3])
+        np.testing.assert_allclose(got["eta"], want["eta"], rtol=5e-3)
+        np.testing.assert_allclose(got["sigma0"], want["sigma0"],
+                                   rtol=1e-4)

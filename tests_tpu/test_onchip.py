@@ -154,3 +154,45 @@ def test_sharded_step_1chip_pallas(problem_1k):
         want_ld = np.log(lam + eta).sum()
         assert abs(ti[i] - want_ti) / want_ti < 0.1, (eta, ti[i], want_ti)
         assert abs(ld[i] - want_ld) / n < 0.05, (eta, ld[i], want_ld)
+
+
+def test_fft_grid_operator_f32(problem_1k):
+    """GridMaternOperator (circulant-embedding FFT matvec) on the chip:
+    f32 FFT vs host-f64 dense at a general (Bessel) nu, and the full
+    profile fit vs the host-f64 spectral answer. Also exercises the
+    jit_operands pass-through — closure-captured FFT tables
+    constant-fold and the axon compiler rejects them."""
+    import jax.numpy as jnp
+    from gppe_tpu.models import direct_likelihood as dl
+    from gppe_tpu.models import profile_likelihood as pl_mod
+    from gppe_tpu.models.large_scale import KrylovProfileLikelihood
+    from gppe_tpu.models.mixed_correlation import MixedCorrelation
+    from gppe_tpu.ops import operators
+    from gppe_tpu.utils import data as data_utils
+
+    pts = data_utils.generate_points(32, dimension=2)    # n=1024 grid
+    z = data_utils.generate_data(pts, 0.2)
+    X = data_utils.generate_basis_functions(pts, 2)
+    nu = 2.2
+    op = operators.GridMaternOperator(pts, 0.1, nu=nu)
+
+    rng = np.random.RandomState(4)
+    V = np.asarray(rng.standard_normal((1024, 5)), np.float32)
+    got = np.asarray(op.matmat(V))
+    ri = np.rint(pts[:, 0] * 31).astype(int)
+    ci = np.rint(pts[:, 1] * 31).astype(int)
+    K = op._k_tab[np.abs(ri[:, None] - ri[None, :]),
+                  np.abs(ci[:, None] - ci[None, :])]
+    want = K @ V.astype(np.float64)
+    frob = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert frob < 2e-5, frob
+
+    eng = KrylovProfileLikelihood(op, X, z, lanczos_steps=48,
+                                  num_probes=16)
+    got_fit = eng.fit()
+    data = dl.make_spectral_data(
+        MixedCorrelation(jnp.asarray(K, jnp.float64)), X, z)
+    want_fit = pl_mod.find_log_likelihood_der1_zeros(data, [1e-4, 1e3])
+    np.testing.assert_allclose(got_fit["eta"], want_fit["eta"], rtol=0.1)
+    np.testing.assert_allclose(got_fit["sigma0"], want_fit["sigma0"],
+                               rtol=1e-2)
