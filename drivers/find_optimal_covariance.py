@@ -339,6 +339,82 @@ def main_large(n=10_000, noise=0.1, grid_rho=8, grid_nu=8,
                                     use_saved=use_saved, verbose=verbose)
 
 
+def main_fft_grid(side=1024, noise=0.2, rhos=None, nus=None,
+                  lanczos_steps=48, num_probes=16, with_prior=True,
+                  verbose=True,
+                  results_path="data/optimal_covariance_fft_n2e20.pickle",
+                  use_saved=False):
+    """(rho, nu) MAP sweep at n = side^2 through the EXACT FFT grid
+    operator — general (Bessel) nu included. The capability frontier:
+    the reference's general-nu machinery tops out at its n = 900 sweeps
+    (examples/FindOptimalCovarianceParameters.py:664-666: 61x60 grid,
+    hours at n = 900), and even its closed-form tapered path needed
+    10,032 s for ONE fit at 2^20. Here each grid point is one exact
+    O(n log n)-matvec Krylov factorization (~10 s at 2^20), so a full
+    general-nu MAP sweep at a million points finishes in minutes."""
+    import time
+
+    from gppe_tpu.models.large_scale import KrylovProfileLikelihood
+    from gppe_tpu.models.priors import inverse_square_log_prior
+    from gppe_tpu.ops import operators
+    from gppe_tpu.utils import checkpoint
+    from gppe_tpu.utils import config as cfg
+    from gppe_tpu.utils import data as data_utils
+    cfg.setup()
+
+    if rhos is None:
+        rhos = np.geomspace(0.003, 0.03, 5)
+    if nus is None:
+        nus = np.asarray([0.5, 1.0, 2.0, 4.0, 8.0])
+
+    def compute():
+        pts = data_utils.generate_points(side, dimension=2)
+        n = pts.shape[0]
+        z = data_utils.generate_data(pts, noise)
+        X = data_utils.generate_basis_functions(pts, 2)
+
+        rows = []
+        t_all = time.perf_counter()
+        for rho in rhos:
+            for nu in nus:
+                t0 = time.perf_counter()
+                op = operators.GridMaternOperator(pts, float(rho),
+                                                  nu=float(nu))
+                eng = KrylovProfileLikelihood(
+                    op, X, z, lanczos_steps=lanczos_steps,
+                    num_probes=num_probes)
+                r = eng.fit()
+                lp = (eng.log_likelihood(r["sigma"], r["eta"])
+                      if np.isfinite(r["eta"]) and r["sigma"] > 0
+                      else -np.inf)
+                if with_prior and np.isfinite(lp):
+                    lp += float(inverse_square_log_prior(rho))
+                    lp += float(inverse_square_log_prior(nu, scale=25.0))
+                secs = time.perf_counter() - t0
+                rows.append({"rho": float(rho), "nu": float(nu),
+                             "lp": float(lp), "seconds": secs, **r})
+                if verbose:
+                    print(f"  rho={rho:.4g} nu={nu:.3g}: lp={lp:.2f} "
+                          f"eta={r['eta']:.4g} ({secs:.1f}s)", flush=True)
+        total = time.perf_counter() - t_all
+        best = max(rows, key=lambda r: r["lp"])
+        out = {"n": n, "rhos": np.asarray(rhos), "nus": np.asarray(nus),
+               "rows": rows, "optimal_rho": best["rho"],
+               "optimal_nu": best["nu"], "max_lp": best["lp"],
+               "total_seconds": total,
+               "seconds_per_point": total / len(rows),
+               "with_prior": bool(with_prior)}
+        if verbose:
+            print(f"fft grid: {len(rows)} exact general-nu fits at "
+                  f"n={n} in {total:.0f}s ({out['seconds_per_point']:.1f}"
+                  f" s/point); MAP rho={best['rho']:.4g} "
+                  f"nu={best['nu']:.3g} lp={best['lp']:.2f}")
+        return out
+
+    return checkpoint.run_or_resume(results_path, compute,
+                                    use_saved=use_saved, verbose=verbose)
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--num-points", type=int, default=30)
@@ -356,8 +432,13 @@ if __name__ == "__main__":
     p.add_argument("--large-n", type=int, default=10_000)
     p.add_argument("--grid", type=int, default=8,
                    help="grid_rho = grid_nu for --large")
+    p.add_argument("--fft-grid", action="store_true",
+                   help="exact general-nu (rho, nu) MAP sweep at "
+                        "n = 2^20 via the FFT grid operator")
     a = p.parse_args()
-    if a.large:
+    if a.fft_grid:
+        main_fft_grid(use_saved=a.use_saved)
+    elif a.large:
         main_large(n=a.large_n, grid_rho=a.grid, grid_nu=a.grid,
                    use_saved=a.use_saved)
     else:

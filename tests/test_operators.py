@@ -217,3 +217,29 @@ class TestGridMaternOperator:
         np.testing.assert_allclose(got["eta"], want["eta"], rtol=5e-3)
         np.testing.assert_allclose(got["sigma0"], want["sigma0"],
                                    rtol=1e-4)
+
+
+def test_fit_ranks_multiple_roots_by_likelihood():
+    """r4 root policy: when der1 has several sign changes (the f32
+    noise floor manufactures a spurious tail crossing at general nu),
+    fit() must refine every crossing and return the one with the best
+    profile log-likelihood — not the first bracket found."""
+    pts = data_utils.generate_points(8, dimension=2)
+    z = data_utils.generate_data(pts, 0.2)
+    X = data_utils.generate_basis_functions(pts, 1)
+    op = operators.MaternOperator(pts, 0.1, nu=0.5, block_rows=64)
+    eng = KrylovProfileLikelihood(op, X, z, lanczos_steps=20,
+                                  num_probes=4)
+    # synthetic surface: der1 crossings at log10 eta = -1 and +2; the
+    # likelihood prefers the LEFT root by far
+    eng.der1 = lambda lg: (lg + 1.0) * (lg - 2.0)
+    eng._eta_stats = lambda eta: {"zMz": float(eng.n - eng.m)}
+    eng.log_likelihood = lambda sigma, eta: -(np.log10(eta) + 1.0) ** 2
+    r = eng.fit()
+    assert r["success"]
+    np.testing.assert_allclose(np.log10(r["eta"]), -1.0, atol=1e-4)
+
+    # and the likelihood flipped: the right root must win instead
+    eng.log_likelihood = lambda sigma, eta: -(np.log10(eta) - 2.0) ** 2
+    r2 = eng.fit()
+    np.testing.assert_allclose(np.log10(r2["eta"]), 2.0, atol=1e-4)
