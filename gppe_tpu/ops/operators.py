@@ -263,30 +263,35 @@ class SparseOperator:
 
 
 class GridMaternOperator:
-    """Exact Matern matvec on a regular 2-D grid in O(n log n) by
-    circulant embedding + 2-D FFT.
+    """Exact Matern matvec on a regular grid in O(n log n) by circulant
+    embedding + multi-dimensional FFT (1-D, 2-D or 3-D grids).
 
-    A stationary kernel on a regular grid makes K block-Toeplitz-
-    Toeplitz: embed the (2 m_x - 1) x (2 m_y - 1) unique-offset kernel
-    table in a (2 m_x) x (2 m_y) circulant, precompute its real FFT
-    once, and every matvec is pad -> rfft2 -> multiply -> irfft2 ->
-    crop — EXACT (the embedding's possibly-indefinite spectrum is
-    irrelevant: only the top-left block, which IS K, is ever read).
+    A stationary kernel on a regular grid makes K (nested-)block-
+    Toeplitz: embed the unique-offset kernel table in a circulant along
+    every axis, precompute its real FFT once, and every matvec is
+    pad -> rfftn -> multiply -> irfftn -> crop — EXACT (the embedding's
+    possibly-indefinite spectrum is irrelevant: only the corner block,
+    which IS K, is ever read).
 
     Why it matters: the fused Pallas matvec is O(n^2) with closed-form
     nu only; this is O(n log n) at ANY nu — the general-nu (Bessel)
-    branch evaluates the ~200-iteration K_nu loops on the O(m_x m_y)
-    offset table instead of n^2 pairs, so exact general-nu inference
-    reaches n = 2^20 on one chip (the reference's general-nu machinery
-    tops out at its n = 900 sweeps, and even its closed-form tapered
-    path needed 10,032 s there). The reference's grid configs
+    branch evaluates the ~200-iteration K_nu loops on the O(prod m_j)
+    offset table (on the host CPU: f64 Bessel is pathological emulation
+    on TPU), so exact general-nu inference reaches n = 2^20 on one chip
+    (~10 s per Krylov factorization; the reference's general-nu
+    machinery tops out at its n = 900 sweeps, and even its closed-form
+    tapered path needed 10,032 s there). The reference's grid configs
     (examples/CompareVariousNumberOfPoints.py:259, structured
     generate_points grids) are exactly this case.
 
     API matches :class:`MaternOperator` (matvec/matmat/shape/dtype/
     trace_pow); plug into KrylovProfileLikelihood / the samplers
     unchanged. Points may be in ANY order — the operator infers the
-    grid and permutes internally.
+    grid and permutes internally. The FFT table rides the
+    ``jit_operands`` protocol (see stochastic.lanczos): it must enter
+    jitted programs as an ARGUMENT, because closure-captured complex
+    constants constant-fold into the program and the axon TPU compiler
+    rejects the FFT (then poisons the process).
     """
 
     def __init__(self, points, scale, nu=0.5, dtype=None):
@@ -294,46 +299,52 @@ class GridMaternOperator:
 
         dtype = dtype or compute_dtype()
         pts = np.asarray(points, dtype=np.float64)
+        if pts.ndim == 1:
+            pts = pts[:, None]
         n, d = pts.shape
-        if d != 2:
-            raise ValueError("GridMaternOperator supports 2-D grids "
-                             f"(got dimension {d})")
-        xs = np.unique(np.round(pts[:, 0], 9))
-        ys = np.unique(np.round(pts[:, 1], 9))
-        mx, my = xs.size, ys.size
-        if mx * my != n:
-            raise ValueError(
-                f"points do not form a full regular grid "
-                f"({mx} x {my} axis values vs n = {n})")
-        for ax in (xs, ys):
-            if ax.size > 1:
+        if d > 3:
+            raise ValueError("GridMaternOperator supports 1-D, 2-D or "
+                             f"3-D grids (got dimension {d})")
+
+        axes, ms, hs, idx = [], [], [], []
+        for j in range(d):
+            ax = np.unique(np.round(pts[:, j], 9))
+            m = ax.size
+            if m > 1:
                 h = np.diff(ax)
-                # atol 3e-9: the 9-decimal grouping above injects +-1e-9
+                # atol 3e-9: the 9-decimal grouping injects +-1e-9
                 # jitter into adjacent differences
                 if not np.allclose(h, h.mean(), rtol=1e-5, atol=3e-9):
-                    raise ValueError("grid spacing is not uniform")
-        # spacing from the RAW coordinate extremes (the rounded axis
-        # values are only for grouping — deriving h from them injects a
-        # ~1e-9 coordinate bias into every kernel value)
-        hx = (float(pts[:, 0].max() - pts[:, 0].min()) / (mx - 1)
-              if mx > 1 else 1.0)
-        hy = (float(pts[:, 1].max() - pts[:, 1].min()) / (my - 1)
-              if my > 1 else 1.0)
+                    raise ValueError("grid spacing is not uniform "
+                                     f"(axis {j})")
+            # spacing from the RAW coordinate extremes (rounded values
+            # are only for grouping — deriving h from them injects a
+            # ~1e-9 coordinate bias into every kernel value)
+            lo, hi = pts[:, j].min(), pts[:, j].max()
+            h = float((hi - lo) / (m - 1)) if m > 1 else 1.0
+            axes.append(ax)
+            ms.append(m)
+            hs.append(h)
+            idx.append(np.rint((pts[:, j] - lo) / h).astype(np.int64))
+        if int(np.prod(ms)) != n:
+            raise ValueError(
+                "points do not form a full regular grid "
+                f"({' x '.join(map(str, ms))} axis values vs n = {n})")
 
-        # integer (row, col) of every point; raster position per point
-        ri = np.rint((pts[:, 0] - pts[:, 0].min()) / hx).astype(np.int64)
-        ci = np.rint((pts[:, 1] - pts[:, 1].min()) / hy).astype(np.int64)
-        raster = ri * my + ci
+        raster = idx[0]
+        for j in range(1, d):
+            raster = raster * ms[j] + idx[j]
         if np.unique(raster).size != n:
             raise ValueError("duplicate grid points")
         self._to_raster = jnp.asarray(np.argsort(raster), dtype=jnp.int32)
         self._from_raster = jnp.asarray(raster, dtype=jnp.int32)
 
-        scale2 = np.broadcast_to(np.asarray(scale, dtype=np.float64),
-                                 (2,))
-        a = np.arange(mx) * (hx / scale2[0])
-        b = np.arange(my) * (hy / scale2[1])
-        dist_tab = np.sqrt(a[:, None] ** 2 + b[None, :] ** 2)
+        scale_d = np.broadcast_to(np.asarray(scale, dtype=np.float64),
+                                  (d,))
+        offs = [np.arange(m) * (h / s_)
+                for m, h, s_ in zip(ms, hs, scale_d)]
+        grids = np.meshgrid(*offs, indexing="ij")
+        dist_tab = np.sqrt(sum(g ** 2 for g in grids))
         # kernel table on the HOST CPU in f64: general nu runs the
         # ~200-iteration Bessel loops — native f64 there, pathological
         # emulation on TPU (measured 59 s vs seconds at 1024^2 offsets)
@@ -341,27 +352,22 @@ class GridMaternOperator:
         with jax.default_device(host_device()):
             k_tab = kernels.matern(
                 jax.device_put(dist_tab, host_device()), float(nu))
-            self._k_tab = np.asarray(k_tab, dtype=np.float64)  # (mx, my)
+            self._k_tab = np.asarray(k_tab, dtype=np.float64)
 
-        # circulant first row over (2mx, 2my): wrap offsets; the Nyquist
-        # rows/cols (index m) never contribute to the cropped block
-        kt = self._k_tab
-        c = np.zeros((2 * mx, 2 * my))
-        c[:mx, :my] = kt
-        c[:mx, my + 1:] = kt[:, 1:][:, ::-1]
-        c[mx + 1:, :my] = kt[1:, :][::-1, :]
-        c[mx + 1:, my + 1:] = kt[1:, 1:][::-1, ::-1]
-        self._chat = jnp.fft.rfft2(jnp.asarray(c, dtype=dtype))
+        # circulant first row over (2 m_1, ..., 2 m_d): per-axis wrapped
+        # offsets; the Nyquist planes (index m_j) never contribute to
+        # the cropped corner block, so their (clipped) values are moot
+        wrap = [np.clip(np.minimum(np.arange(2 * m),
+                                   2 * m - np.arange(2 * m)), 0, m - 1)
+                for m in ms]
+        c = self._k_tab[np.ix_(*wrap)]
+        self._chat = jnp.fft.rfftn(
+            jnp.asarray(c, dtype=dtype), axes=tuple(range(d)))
 
         self.n, self.nu = n, float(nu)
-        self.mx, self.my = mx, my
+        self.ms = tuple(int(m) for m in ms)
         self.dtype = dtype
         self._n = n
-        # consumed by stochastic.lanczos(operands=...): the FFT table
-        # must enter jitted programs as an ARGUMENT — closure-captured,
-        # it constant-folds into the program and the axon TPU compiler
-        # rejects FFTs on embedded complex constants (and the failed
-        # compile poisons the process)
         self.jit_operands = (self._chat, self._to_raster,
                              self._from_raster)
 
@@ -381,7 +387,7 @@ class GridMaternOperator:
             self._chat if chat is None else chat,
             self._to_raster if to_raster is None else to_raster,
             self._from_raster if from_raster is None else from_raster,
-            self.mx, self.my)
+            self.ms)
         return out[:, 0] if squeeze else out
 
     def matvec(self, v):
@@ -389,29 +395,33 @@ class GridMaternOperator:
 
     def trace_pow(self, exponent):
         """Exact trace(K^p) for p in {0, 1, 2} from the offset table:
-        offset (a, b) occurs (m_x - |a|)(m_y - |b|) times (x2 for each
-        nonzero sign)."""
+        offset a occurs prod_j (m_j - |a_j|) times (x2 per nonzero
+        component sign)."""
         import numpy as np
 
         if exponent == 0 or exponent == 1:
             return jnp.asarray(float(self._n), dtype=self.dtype)
         if exponent == 2:
-            fx = np.where(np.arange(self.mx) == 0, 1.0, 2.0) * (
-                self.mx - np.arange(self.mx))
-            fy = np.where(np.arange(self.my) == 0, 1.0, 2.0) * (
-                self.my - np.arange(self.my))
-            return float(np.einsum("a,b,ab->", fx, fy, self._k_tab ** 2))
+            w = self._k_tab ** 2
+            for j, m in enumerate(self.ms):
+                fac = np.where(np.arange(m) == 0, 1.0, 2.0) * (
+                    m - np.arange(m))
+                w = np.tensordot(fac, w, axes=([0], [0])) \
+                    if w.ndim > 1 else float(fac @ w)
+            return float(w)
         raise ValueError("exponent must be 0, 1 or 2")
 
 
-@partial(jax.jit, static_argnames=("mx", "my"))
-def _grid_matern_matmat_fft(V, chat, to_raster, from_raster, mx, my):
+@partial(jax.jit, static_argnames=("ms",))
+def _grid_matern_matmat_fft(V, chat, to_raster, from_raster, ms):
     n, r = V.shape
-    Vr = jnp.take(V, to_raster, axis=0).reshape(mx, my, r)
-    Vp = jnp.zeros((2 * mx, 2 * my, r), dtype=V.dtype)
-    Vp = Vp.at[:mx, :my].set(Vr)
-    F = jnp.fft.rfft2(Vp, axes=(0, 1))
-    Y = jnp.fft.irfft2(F * chat[..., None], s=(2 * mx, 2 * my),
-                       axes=(0, 1))
-    y = Y[:mx, :my].reshape(n, r).astype(V.dtype)
+    d = len(ms)
+    grid_axes = tuple(range(d))
+    Vr = jnp.take(V, to_raster, axis=0).reshape(*ms, r)
+    Vp = jnp.zeros(tuple(2 * m for m in ms) + (r,), dtype=V.dtype)
+    Vp = Vp.at[tuple(slice(0, m) for m in ms)].set(Vr)
+    F = jnp.fft.rfftn(Vp, axes=grid_axes)
+    Y = jnp.fft.irfftn(F * chat[..., None],
+                       s=tuple(2 * m for m in ms), axes=grid_axes)
+    y = Y[tuple(slice(0, m) for m in ms)].reshape(n, r).astype(V.dtype)
     return jnp.take(y, from_raster, axis=0)

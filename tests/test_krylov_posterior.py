@@ -151,3 +151,24 @@ def test_nuts_large_path_moments(dataset, surface):
     assert abs(mean[0] - 1.2) < 1.5 * max(std[0], 0.3)
     assert -1.5 < mean[1] < -0.5
     assert int(np.asarray(res.divergences).sum()) == 0
+
+
+def test_surface_with_fft_operator_factory():
+    """KrylovPosteriorSurface through operator_factory=GridMaternOperator
+    (exact FFT matvecs on grid data): the surface must agree with the
+    default assembly path within the shared-probe MC envelope."""
+    from gppe_tpu.ops import operators
+
+    pts = data_utils.generate_points(12, dimension=2)     # n=144
+    z = data_utils.generate_data(pts, 0.2)
+    X = data_utils.generate_basis_functions(pts, 2)
+    kw = dict(nu=0.5, log10_rho_bounds=(-1.2, -0.6), num_nodes=6,
+              lanczos_steps=30, num_probes=12, key=3)
+    s_default = KrylovPosteriorSurface(pts, z, X, **kw)
+    s_fft = KrylovPosteriorSurface(
+        pts, z, X, operator_factory=lambda rho:
+        operators.GridMaternOperator(pts, rho, nu=0.5), **kw)
+    for le, lr in [(0.0, -0.9), (1.0, -1.1), (-1.0, -0.7)]:
+        a = float(s_default.profile_loglik(le, lr))
+        b = float(s_fft.profile_loglik(le, lr))
+        assert abs(a - b) < 0.5, (le, lr, a, b)    # same probes, MC-tiny

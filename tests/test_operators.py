@@ -243,3 +243,28 @@ def test_fit_ranks_multiple_roots_by_likelihood():
     eng.log_likelihood = lambda sigma, eta: -(np.log10(eta) - 2.0) ** 2
     r2 = eng.fit()
     np.testing.assert_allclose(np.log10(r2["eta"]), 2.0, atol=1e-4)
+
+
+
+def test_grid_operator_1d_and_3d():
+    """FFT grid operator on 1-D and 3-D grids (the d-general form)."""
+    from gppe_tpu.ops import kernels
+
+    x = np.linspace(0, 1, 200)[:, None]
+    op1 = operators.GridMaternOperator(x, 0.07, nu=1.5)
+    K1 = np.asarray(kernels.matern(np.abs(x - x.T) / 0.07, 1.5))
+    v = np.random.default_rng(0).standard_normal(200)
+    np.testing.assert_allclose(np.asarray(op1.matvec(v)), K1 @ v,
+                               atol=1e-11)
+    np.testing.assert_allclose(float(op1.trace_pow(2)),
+                               np.sum(K1 * K1), rtol=1e-11)
+
+    pts3 = data_utils.generate_points(7, dimension=3)   # n=343
+    op3 = operators.GridMaternOperator(pts3, 0.2, nu=0.5)
+    K3 = np.asarray(assembly.dense_correlation(pts3, 0.2, 0.5),
+                    dtype=np.float64)
+    v3 = np.random.default_rng(2).standard_normal(343)
+    np.testing.assert_allclose(np.asarray(op3.matvec(v3)), K3 @ v3,
+                               atol=1e-11)
+    np.testing.assert_allclose(float(op3.trace_pow(2)),
+                               np.sum(K3 * K3), rtol=1e-11)
