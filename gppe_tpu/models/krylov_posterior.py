@@ -201,11 +201,17 @@ class KrylovPosteriorSurface:
             C = AB.shape[1]
             itemsize = jnp.dtype(dtype).itemsize
             bytes_per_node = self.k * self.n * C * itemsize
-            # the live Lanczos basis is the dominant allocation; leave
-            # headroom for its reorthogonalization temporaries (~6 GB of
-            # the 16 GB HBM budget). More nodes per chunk = more shared
-            # distance passes in the multirho kernel.
-            node_chunk = max(1, int((6 << 30) // max(bytes_per_node, 1)))
+            # the live Lanczos basis is the dominant allocation; its
+            # reorthogonalization temporaries roughly double the peak,
+            # and in a long-lived process allocator fragmentation eats
+            # more (a 6 GB budget OOM'd mid-bench at n = 100k while
+            # working standalone — and bought only ~5% over 3 GB, the
+            # matvec being exp-bound). Keep chunks conservative;
+            # override with GPPE_SURFACE_CHUNK_BYTES if needed.
+            import os as _os
+            budget = int(_os.environ.get("GPPE_SURFACE_CHUNK_BYTES",
+                                         3 << 30))
+            node_chunk = max(1, budget // max(bytes_per_node, 1))
             nu_static = (self.nu if self.nu in (0.5, 1.5, 2.5)
                          or self.nu >= 100.0 else None)
             use_pallas = use_pallas and nu_static is not None
