@@ -250,25 +250,33 @@ def hmc_sample(log_prob_fn, init_theta, key, num_samples=1000,
 
 
 
-def resume_hmc(log_prob_fn, state, num_samples, num_leapfrog=16):
+def resume_hmc(log_prob_fn, state, num_samples, num_leapfrog=16,
+               grad_mode="rev", chunk_steps=None):
     """Continue a chain from a saved ``HMCResult.state()`` dict.
 
     No warmup, adaptation frozen at the saved step size / inverse mass:
     the continued samples are those the uninterrupted run would have
     produced, up to last-ulp XLA scheduling rounding (tested at 1e-10
-    on the f64 CPU path)."""
+    on the f64 CPU path).
+
+    ``grad_mode``/``chunk_steps`` must match the original run for
+    targets that need them (the traced-nu Bessel posterior requires
+    forward-mode gradients and short device programs — see
+    hmc_sample): sample_posterior_nu's resume branch forwards both."""
     return hmc_sample(log_prob_fn, jnp.asarray(state["theta"]),
                       jnp.asarray(state["key"]),
                       num_samples=num_samples, num_warmup=0,
                       num_leapfrog=num_leapfrog,
                       init_step_size=jnp.asarray(state["step_size"]),
-                      init_inv_mass=jnp.asarray(state["inv_mass"]))
+                      init_inv_mass=jnp.asarray(state["inv_mass"]),
+                      grad_mode=grad_mode, chunk_steps=chunk_steps)
 
 
 def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
                      num_warmup=300, num_leapfrog=16, key=0,
                      init=None, log_prior=None, mesh=None,
-                     support_log10=None, resume_state=None):
+                     support_log10=None, resume_state=None,
+                     chunk_steps=None):
     """Sample the (log10 eta, log10 rho) posterior of a GP dataset.
 
     Chains are a batch axis; with ``mesh`` given, the chain axis is
@@ -284,6 +292,11 @@ def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
     utils.checkpoint.save_hmc_state) — continues the chains exactly
     where a previous run stopped (no warmup, adaptation frozen); the
     other posterior arguments must match the original run.
+
+    ``chunk_steps``: split the scan into device programs of at most
+    this many steps (see hmc_sample — the dense-Cholesky target at
+    many chains/steps is exactly the class of long single program that
+    faults the tunneled TPU).
     """
     from .kernel_posterior import (make_bounded_log_posterior,
                                    make_log_posterior)
@@ -298,7 +311,8 @@ def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
 
     if resume_state is not None:
         res = resume_hmc(log_post, resume_state, num_samples,
-                         num_leapfrog=num_leapfrog)
+                         num_leapfrog=num_leapfrog,
+                         chunk_steps=chunk_steps)
         if u_to_theta is not None:
             res = res._replace(samples=u_to_theta(res.samples))
         return res
@@ -324,7 +338,8 @@ def sample_posterior(points, z, X, nu=0.5, num_chains=8, num_samples=500,
         init = jax.device_put(init, sharding)
 
     res = hmc_sample(log_post, init, k_run, num_samples=num_samples,
-                     num_warmup=num_warmup, num_leapfrog=num_leapfrog)
+                     num_warmup=num_warmup, num_leapfrog=num_leapfrog,
+                     chunk_steps=chunk_steps)
     if u_to_theta is not None:
         res = res._replace(samples=u_to_theta(res.samples))
     return res
@@ -366,8 +381,13 @@ def sample_posterior_nu(points, z, X, num_chains=8, num_samples=500,
         nu_bounds=nu_bounds, log_prior=log_prior)
 
     if resume_state is not None:
+        # forward-mode + chunked programs are REQUIRED here, exactly as
+        # on the fresh path below: reverse mode through the traced-nu
+        # Bessel loops OOMs HBM (~31 GB at n = 900) and one unchunked
+        # program faults the tunneled chip (ADVICE r4, medium)
         res = resume_hmc(log_post, resume_state, num_samples,
-                         num_leapfrog=num_leapfrog)
+                         num_leapfrog=num_leapfrog, grad_mode="fwd",
+                         chunk_steps=chunk_steps)
         return res._replace(samples=u_to_theta(res.samples))
 
     rng = jax.random.PRNGKey(key)

@@ -289,7 +289,7 @@ class KrylovProfileLikelihood:
     # -- MLE driver -------------------------------------------------------
 
     def fit(self, interval_eta=(1e-4, 1e3), tol=1e-6, max_iterations=100,
-            num_bracket_trials=3, verbose=False):
+            scan_grid=29, verbose=False):
         """Root of d lp/d eta (reference find_log_likelihood_der1_zeros,
         _profile_likelihood.py:244-415), including the boundary-optimum
         fallback from the sign of d^2 lp/d eta^2 at eta = 0 (:352-405)
@@ -311,10 +311,15 @@ class KrylovProfileLikelihood:
         lo = float(np.log10(interval_eta[0]))
         hi = float(np.log10(interval_eta[1]))
 
-        grid = np.linspace(lo, hi, 29)
+        grid = np.linspace(lo, hi, int(scan_grid))
         vals = np.array([self.der1(g) for g in grid])
-        sign_change = np.nonzero(np.sign(vals[:-1])
-                                 != np.sign(vals[1:]))[0]
+        # NaN lanes must register as NO sign change on either neighbor:
+        # np.sign(NaN) = NaN compares unequal to everything, which would
+        # otherwise spawn spurious Chandrupatla refinements around every
+        # non-finite der1 value (ADVICE r4)
+        sg = np.sign(vals)
+        finite_pair = np.isfinite(vals[:-1]) & np.isfinite(vals[1:])
+        sign_change = np.nonzero(finite_pair & (sg[:-1] != sg[1:]))[0]
 
         candidates = []
         total_iters = 0
@@ -331,6 +336,10 @@ class KrylovProfileLikelihood:
                 continue                     # numerically garbage root
             sigma = float(np.sqrt(st["zMz"] / (self.n - self.m)))
             lp = self.log_likelihood(sigma, eta)
+            if not np.isfinite(lp):
+                # max() keeps a NaN first element (NaN comparisons are
+                # False both ways) — never let one in (ADVICE r4)
+                continue
             candidates.append((lp, eta, sigma))
             if verbose:
                 print(f"root candidate: eta={eta:.5g} sigma={sigma:.5g} "
@@ -355,7 +364,7 @@ class KrylovProfileLikelihood:
                 "profile-likelihood derivative changes sign but no bracket "
                 "was found (mixed signs at the interval ends): degenerate "
                 "case, falling back to the eta = 0 boundary; widen "
-                "interval_eta or raise num_bracket_trials", stacklevel=2)
+                "interval_eta or raise scan_grid", stacklevel=2)
             eta = 0.0
         if eta == 0.0:
             sigma = self.find_optimal_sigma(0.0)

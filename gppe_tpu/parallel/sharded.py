@@ -305,8 +305,11 @@ def build_sharded_factorization(mesh, nu=0.5, lanczos_steps=64,
 
     Returns a jitted fn(points, scale, X, z, v_defl, probes) ->
     (a_sd (s+1, k), b_sd (s+1, k-1), U (s, k, s), G (s, s, k, k),
-    P (k, p), a_p (p, k), b_p (p, k-1)) where column s of the solve
-    block is the deflation chain. All projections are f64-accumulated
+    P (k, p), a_p (p, k), b_p (p, k-1), fro2) where column s of the
+    solve block is the deflation chain and ``fro2`` is
+    trace(K_padded^2) = ||K||_F^2 accumulated over the local row blocks
+    (each chip pays O(n^2 / p_block); the caller subtracts the padded
+    rows' unit diagonal). All projections are f64-accumulated
     (ops.stochastic.matmul_f64/gram_f64 — the r3 precision rule: f32
     O(n) reductions bias the per-eta math by ~sqrt(n)*eps).
     """
@@ -358,7 +361,43 @@ def build_sharded_factorization(mesh, nu=0.5, lanczos_steps=64,
             G = jnp.transpose(G.reshape(s, k, s, k), (0, 2, 1, 3))
             P = jax.lax.psum(stochastic.matmul_f64(
                 Vsd[:, :, s], probes_l), BLOCK_AXIS)    # (k, p_l)
-            return a_sd, b_sd, U, G, P, a_p, b_p
+
+            # trace(K^2) = ||K||_F^2 over the LOCAL row block in column
+            # tiles — distributed O(n^2 / p_block) riding the same SPMD
+            # program (ADVICE r4: a single-device MaternOperator pass
+            # here reintroduced exactly the one-chip O(n^2) bottleneck
+            # the sharded factorization exists to avoid). Column padding
+            # to the tile size uses mutually-far NEGATIVE offsets (the
+            # row padding is far-positive), so every pad-vs-anything
+            # kernel value is ~0 except each padded ROW's own unit
+            # diagonal, which the caller subtracts.
+            d_pts = pts_l.shape[1]
+            cb = 512
+            n_f = pts_f.shape[0]
+            num_cb = -(-n_f // cb)
+            pad_cols = num_cb * cb - n_f
+            if pad_cols:
+                far_neg = -1e6 * (2.0 + jnp.arange(pad_cols,
+                                                   dtype=pts_f.dtype))
+                pad_pts = jnp.zeros((pad_cols, d_pts),
+                                    dtype=pts_f.dtype)
+                pad_pts = pad_pts.at[:, 0].set(far_neg)
+                cols_all = jnp.concatenate([pts_f, pad_pts], axis=0)
+            else:
+                cols_all = pts_f
+
+            def fr_block(i):
+                cols = jax.lax.dynamic_slice(
+                    cols_all, (i * cb, jnp.zeros((), i.dtype)),
+                    (cb, d_pts))
+                dist = kernels.pairwise_scaled_distance(pts_l, cols,
+                                                        scale_)
+                Kblk = kernels.matern(dist, nu)
+                return jnp.sum(Kblk * Kblk)
+
+            fro2 = jnp.sum(jax.lax.map(fr_block, jnp.arange(num_cb)))
+            fro2 = jax.lax.psum(fro2, BLOCK_AXIS)
+            return a_sd, b_sd, U, G, P, a_p, b_p, fro2
 
         pts_full = points
         return jax.shard_map(
@@ -367,7 +406,7 @@ def build_sharded_factorization(mesh, nu=0.5, lanczos_steps=64,
                       P(BLOCK_AXIS), P(BLOCK_AXIS),
                       P(BLOCK_AXIS, PROBE_AXIS)),
             out_specs=(P(), P(), P(), P(), P(None, PROBE_AXIS),
-                       P(PROBE_AXIS), P(PROBE_AXIS)),
+                       P(PROBE_AXIS), P(PROBE_AXIS), P()),
             check_vma=False,
         )(points, pts_full, scale, X, z, v_defl, probes)
 
@@ -453,17 +492,17 @@ class ShardedKrylovProfileLikelihood:
                    jnp.asarray(Xp, dtype), jnp.asarray(zp, dtype),
                    jnp.asarray(v_defl, dtype),
                    jnp.asarray(probes, dtype))
-        a_sd, b_sd, U, G, P, a_p, b_p = (np.asarray(o, dtype=np.float64)
-                                         for o in out)
+        a_sd, b_sd, U, G, P, a_p, b_p, fro2 = (
+            np.asarray(o, dtype=np.float64) for o in out)
 
         A = np.concatenate([z[:, None], X], axis=1)
         rhs_norms = np.linalg.norm(A, axis=0)
         tK2 = None
         if trace_k2:
-            from ..ops import operators
-            op = operators.MaternOperator(np.asarray(points, float),
-                                          scale, nu=nu)
-            tK2 = float(op.trace_pow(2))
+            # trace(K^2) arrives from the sharded program itself
+            # (distributed column-tiled Frobenius — ADVICE r4); each
+            # padded row contributes exactly its unit diagonal
+            tK2 = float(fro2) - (n_pad - n)
         nodes, weights = stochastic.deflated_quadrature(
             a_sd[s], b_sd[s], a_p, b_p, P,
             np.full(p, float(n)), n, trace_K2=tK2)
