@@ -92,11 +92,112 @@ def main(n=4096, device_counts=None, verbose=True, comm="ring"):
     return results
 
 
+def measure_sampler(n_devices, num_chains=64, num_samples=100,
+                    num_warmup=50, n_side=20, surface=None):
+    """Chains-over-mesh HMC samples/s at ``n_devices`` (the chain axis
+    shards over the mesh 'probe' axis). Returns (samples/s, surface) —
+    pass the surface back in to reuse across device counts (the target
+    is device-count independent; only the chain sharding changes)."""
+    import jax
+
+    from gppe_tpu.models import hmc
+    from gppe_tpu.models.krylov_posterior import KrylovPosteriorSurface
+    from gppe_tpu.parallel import mesh as mesh_mod
+    from gppe_tpu.utils import data as data_utils
+
+    pts = data_utils.generate_points(n_side, dimension=2)
+    z = data_utils.generate_data(pts, 0.2)
+    X = data_utils.generate_basis_functions(pts, 2)
+    if surface is None:
+        surface = KrylovPosteriorSurface(pts, z, X, nu=0.5,
+                                         log10_rho_bounds=(-1.5, -0.5))
+    mesh = mesh_mod.make_mesh(n_devices)
+    kwargs = dict(nu=0.5, num_chains=num_chains,
+                  num_samples=num_samples, num_warmup=num_warmup,
+                  key=0, surface=surface, mesh=mesh,
+                  log10_eta_bounds=(-3.0, 4.0))
+    res, _ = hmc.sample_posterior_large(pts, z, X, **kwargs)
+    jax.block_until_ready(res.samples)            # compile + warm
+    t0 = time.perf_counter()
+    res, _ = hmc.sample_posterior_large(pts, z, X, **kwargs)
+    jax.block_until_ready(res.samples)
+    wall = time.perf_counter() - t0
+    return num_chains * num_samples / wall, surface
+
+
+def main_artifact(n_step=32768, num_chains=64,
+                  out_path="data/scaling_virtual_mesh.json",
+                  verbose=True):
+    """The VERDICT r4 item 9/6 artifact: (a) chains-over-mesh HMC
+    samples/s at 1/2/4/8 devices; (b) ring vs allgather sharded-step
+    wall time at the full mesh with n large enough that the gathered
+    Krylov block dominates memory traffic. On a virtual CPU mesh both
+    are CORRECTNESS-grade: they prove the programs partition and run at
+    every device count, but say nothing about ICI bandwidth (the
+    'collectives' are memcpys inside one address space) — recorded in
+    the artifact and discussed in docs/ARCHITECTURE.md."""
+    import json
+
+    import jax
+
+    nd_avail = len(jax.devices())
+    platform = jax.devices()[0].platform
+    virtual = platform == "cpu"
+    counts = [d for d in (1, 2, 4, 8) if d <= nd_avail]
+    out = {"grade": "correctness" if virtual else "perf",
+           "platform": platform,
+           "note": ("virtual CPU mesh: numbers validate partitioning/"
+                    "correctness only — no ICI exists, so schedule "
+                    "deltas measure scheduler+memcpy overhead, not "
+                    "interconnect overlap" if virtual else
+                    "real devices"),
+           "sampler": {"num_chains": num_chains, "per_device": {}},
+           "step_n": n_step, "step": {}}
+
+    surface = None
+    base = None
+    for nd in counts:
+        sps, surface = measure_sampler(nd, num_chains=num_chains,
+                                       surface=surface)
+        eff = sps / (base * nd) if base is not None else 1.0
+        if base is None:
+            base = sps
+        out["sampler"]["per_device"][str(nd)] = {
+            "samples_per_s": round(sps, 1),
+            "efficiency_vs_1dev": round(eff, 3)}
+        if verbose:
+            print(f"sampler {nd} dev: {sps:.1f} samples/s "
+                  f"({num_chains} chains)")
+
+    for comm in ("ring", "allgather"):
+        t = measure(max(counts), n_step, lanczos_steps=16, reps=3,
+                    comm=comm)
+        out["step"][comm] = round(t, 4)
+        if verbose:
+            print(f"step {comm} @ {max(counts)} dev, n={n_step}: "
+                  f"{t:.3f}s")
+    if out["step"].get("allgather"):
+        out["step"]["ring_minus_allgather_s"] = round(
+            out["step"]["ring"] - out["step"]["allgather"], 4)
+
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    if verbose:
+        print(f"wrote {out_path}")
+    return out
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=4096)
     p.add_argument("--comm", choices=["ring", "allgather"],
                    default="ring",
                    help="matvec communication schedule")
+    p.add_argument("--artifact", action="store_true",
+                   help="produce data/scaling_virtual_mesh.json "
+                        "(sampler scaling + ring-vs-allgather)")
     a = p.parse_args()
-    main(a.n, comm=a.comm)
+    if a.artifact:
+        main_artifact()
+    else:
+        main(a.n, comm=a.comm)

@@ -460,6 +460,67 @@ def sample_profile_posterior_rho_nu(points, z, X, num_chains=8,
     return res._replace(samples=u_to_theta(res.samples))
 
 
+def sample_posterior_rho_nu_large(points, z, X, num_chains=64,
+                                  num_samples=500, num_warmup=300,
+                                  num_leapfrog=16, key=0,
+                                  log_prior="reference", mesh=None,
+                                  log10_eta_bounds=(-3.0, 3.0),
+                                  log10_rho_bounds=(-1.0, -0.4),
+                                  nu_bounds=(1.0, 25.0),
+                                  surface=None, surface_kwargs=None,
+                                  resume_state=None, verbose=False):
+    """HMC over the FULL (log10 eta, log10 rho, nu) posterior at LARGE n
+    — the amortized counterpart of sample_posterior_nu, built on the 2-D
+    tensor-node FFT surface
+    (:class:`gppe_tpu.models.krylov_posterior.KrylovPosteriorSurfaceRhoNu`;
+    requires regular-grid points, every reference benchmark config).
+    All O(n log n) work happens once at surface construction; each
+    leapfrog gradient afterwards is tiny Ritz math independent of n, so
+    nu-inference at n = 10^5+ costs what the reference's n = 900 sweep
+    costs it (reference examples/FindOptimalCovarianceParameters.py:
+    664-666 — its nu machinery tops out there).
+
+    ``log_prior="reference"``: the golden pickle's priors —
+    inverse-square on rho and on nu/25 (reference :119-146); None for
+    flat-in-box; or a callable ``log_prior(eta, rho, nu)`` in natural
+    parameters. Returns ``(HMCResult, surface)`` with samples
+    (S, C, 3) in (log10 eta, log10 rho, nu)."""
+    from .krylov_posterior import KrylovPosteriorSurfaceRhoNu
+    from .priors import inverse_square_log_prior
+
+    if log_prior == "reference":
+        def log_prior(eta, rho, nu):  # noqa: F811
+            return (inverse_square_log_prior(rho)
+                    + inverse_square_log_prior(nu, scale=25.0))
+
+    if surface is None:
+        surface = KrylovPosteriorSurfaceRhoNu(
+            points, z, X, log10_rho_bounds=log10_rho_bounds,
+            nu_bounds=nu_bounds, verbose=verbose,
+            **(surface_kwargs or {}))
+    log_post, u_to_theta = surface.make_bounded_log_posterior(
+        log10_eta_bounds=log10_eta_bounds, log_prior=log_prior)
+
+    if resume_state is not None:
+        res = resume_hmc(log_post, resume_state, num_samples,
+                         num_leapfrog=num_leapfrog)
+        return res._replace(samples=u_to_theta(res.samples)), surface
+
+    rng = jax.random.PRNGKey(key)
+    k_init, k_run = jax.random.split(rng)
+    init = 0.5 * jax.random.normal(k_init, (num_chains, 3),
+                                   dtype=jnp.float64)
+    if mesh is not None:
+        from ..parallel.mesh import PROBE_AXIS
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(PROBE_AXIS, None))
+        init = jax.device_put(init, sharding)
+
+    res = hmc_sample(log_post, init, k_run, num_samples=num_samples,
+                     num_warmup=num_warmup, num_leapfrog=num_leapfrog)
+    return res._replace(samples=u_to_theta(res.samples)), surface
+
+
 def sample_posterior_large(points, z, X, nu=0.5, num_chains=64,
                            num_samples=500, num_warmup=300, num_leapfrog=16,
                            key=0, log_prior=None, mesh=None,

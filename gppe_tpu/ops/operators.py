@@ -262,6 +262,110 @@ class SparseOperator:
         return jnp.asarray(self._host_csr.toarray(), dtype=self.dtype)
 
 
+def grid_geometry(points):
+    """Infer the regular-grid structure of a point set.
+
+    Returns ``(ms, hs, to_raster, from_raster)``: per-axis sizes and
+    spacings, plus the permutations between the caller's point order and
+    raster (row-major) order. Raises ValueError when the points do not
+    form a full uniform grid. Shared by :class:`GridMaternOperator` and
+    the batched (rho, nu) FFT surface
+    (models.krylov_posterior.KrylovPosteriorSurfaceRhoNu)."""
+    import numpy as np
+
+    pts = np.asarray(points, dtype=np.float64)
+    if pts.ndim == 1:
+        pts = pts[:, None]
+    n, d = pts.shape
+    if d > 3:
+        raise ValueError("grid operators support 1-D, 2-D or "
+                         f"3-D grids (got dimension {d})")
+
+    ms, hs, idx = [], [], []
+    for j in range(d):
+        ax = np.unique(np.round(pts[:, j], 9))
+        m = ax.size
+        if m > 1:
+            h = np.diff(ax)
+            # atol 3e-9: the 9-decimal grouping injects +-1e-9
+            # jitter into adjacent differences
+            if not np.allclose(h, h.mean(), rtol=1e-5, atol=3e-9):
+                raise ValueError(f"grid spacing is not uniform (axis {j})")
+        # spacing from the RAW coordinate extremes (rounded values are
+        # only for grouping — deriving h from them injects a ~1e-9
+        # coordinate bias into every kernel value)
+        lo, hi = pts[:, j].min(), pts[:, j].max()
+        h = float((hi - lo) / (m - 1)) if m > 1 else 1.0
+        ms.append(m)
+        hs.append(h)
+        idx.append(np.rint((pts[:, j] - lo) / h).astype(np.int64))
+    if int(np.prod(ms)) != n:
+        raise ValueError(
+            "points do not form a full regular grid "
+            f"({' x '.join(map(str, ms))} axis values vs n = {n})")
+
+    raster = idx[0]
+    for j in range(1, d):
+        raster = raster * ms[j] + idx[j]
+    if np.unique(raster).size != n:
+        raise ValueError("duplicate grid points")
+    to_raster = np.argsort(raster).astype(np.int32)
+    return tuple(ms), tuple(hs), to_raster, raster.astype(np.int32)
+
+
+def grid_distance_table(ms, hs, scale):
+    """Scaled-offset distance table (m_1, ..., m_d): entry a holds the
+    anisotropic distance of grid offset a under per-axis ``scale``."""
+    import numpy as np
+
+    scale_d = np.broadcast_to(np.asarray(scale, dtype=np.float64),
+                              (len(ms),))
+    offs = [np.arange(m) * (h / s_) for m, h, s_ in zip(ms, hs, scale_d)]
+    grids = np.meshgrid(*offs, indexing="ij")
+    return np.sqrt(sum(g ** 2 for g in grids))
+
+
+def circulant_rfft(k_tab, ms, dtype):
+    """Real FFT of the circulant embedding of an offset kernel table.
+
+    ``k_tab``: (..., m_1, ..., m_d) — leading batch axes allowed (the
+    (rho, nu) surface passes a whole node batch at once). The embedding
+    wraps per-axis to (2 m_j); the Nyquist planes never contribute to
+    the cropped corner block, so their clipped values are moot.
+
+    The rfftn runs ON the default device from the real-valued wrapped
+    table: the axon TPU runtime cannot host-transfer complex arrays
+    (UNIMPLEMENTED at device_put), but computes complex FFT outputs on
+    device fine — so only the real table ever crosses the host
+    boundary."""
+    import numpy as np
+
+    d = len(ms)
+    wrap = [np.clip(np.minimum(np.arange(2 * m),
+                               2 * m - np.arange(2 * m)), 0, m - 1)
+            for m in ms]
+    ix = np.ix_(*wrap)
+    c = np.asarray(k_tab)[(Ellipsis,) + ix]
+    axes = tuple(range(k_tab.ndim - d, k_tab.ndim))
+    return jnp.fft.rfftn(jnp.asarray(c, dtype=dtype), axes=axes)
+
+
+def grid_trace_pow2(k_tab, ms):
+    """Exact trace(K^2) from the offset kernel table: offset a occurs
+    prod_j (m_j - |a_j|) times (x2 per nonzero component sign).
+    Leading batch axes in ``k_tab`` pass through."""
+    import numpy as np
+
+    w = np.asarray(k_tab, dtype=np.float64) ** 2
+    rem = len(ms)
+    for m in ms:
+        fac = np.where(np.arange(m) == 0, 1.0, 2.0) * (m - np.arange(m))
+        # the first not-yet-contracted grid axis sits at ndim - rem
+        w = np.tensordot(w, fac, axes=([w.ndim - rem], [0]))
+        rem -= 1
+    return w
+
+
 class GridMaternOperator:
     """Exact Matern matvec on a regular grid in O(n log n) by circulant
     embedding + multi-dimensional FFT (1-D, 2-D or 3-D grids).
@@ -298,53 +402,12 @@ class GridMaternOperator:
         import numpy as np
 
         dtype = dtype or compute_dtype()
-        pts = np.asarray(points, dtype=np.float64)
-        if pts.ndim == 1:
-            pts = pts[:, None]
-        n, d = pts.shape
-        if d > 3:
-            raise ValueError("GridMaternOperator supports 1-D, 2-D or "
-                             f"3-D grids (got dimension {d})")
+        ms, hs, to_raster, from_raster = grid_geometry(points)
+        n = int(np.prod(ms))
+        self._to_raster = jnp.asarray(to_raster)
+        self._from_raster = jnp.asarray(from_raster)
 
-        axes, ms, hs, idx = [], [], [], []
-        for j in range(d):
-            ax = np.unique(np.round(pts[:, j], 9))
-            m = ax.size
-            if m > 1:
-                h = np.diff(ax)
-                # atol 3e-9: the 9-decimal grouping injects +-1e-9
-                # jitter into adjacent differences
-                if not np.allclose(h, h.mean(), rtol=1e-5, atol=3e-9):
-                    raise ValueError("grid spacing is not uniform "
-                                     f"(axis {j})")
-            # spacing from the RAW coordinate extremes (rounded values
-            # are only for grouping — deriving h from them injects a
-            # ~1e-9 coordinate bias into every kernel value)
-            lo, hi = pts[:, j].min(), pts[:, j].max()
-            h = float((hi - lo) / (m - 1)) if m > 1 else 1.0
-            axes.append(ax)
-            ms.append(m)
-            hs.append(h)
-            idx.append(np.rint((pts[:, j] - lo) / h).astype(np.int64))
-        if int(np.prod(ms)) != n:
-            raise ValueError(
-                "points do not form a full regular grid "
-                f"({' x '.join(map(str, ms))} axis values vs n = {n})")
-
-        raster = idx[0]
-        for j in range(1, d):
-            raster = raster * ms[j] + idx[j]
-        if np.unique(raster).size != n:
-            raise ValueError("duplicate grid points")
-        self._to_raster = jnp.asarray(np.argsort(raster), dtype=jnp.int32)
-        self._from_raster = jnp.asarray(raster, dtype=jnp.int32)
-
-        scale_d = np.broadcast_to(np.asarray(scale, dtype=np.float64),
-                                  (d,))
-        offs = [np.arange(m) * (h / s_)
-                for m, h, s_ in zip(ms, hs, scale_d)]
-        grids = np.meshgrid(*offs, indexing="ij")
-        dist_tab = np.sqrt(sum(g ** 2 for g in grids))
+        dist_tab = grid_distance_table(ms, hs, scale)
         # kernel table on the HOST CPU in f64: general nu runs the
         # ~200-iteration Bessel loops — native f64 there, pathological
         # emulation on TPU (measured 59 s vs seconds at 1024^2 offsets)
@@ -354,18 +417,11 @@ class GridMaternOperator:
                 jax.device_put(dist_tab, host_device()), float(nu))
             self._k_tab = np.asarray(k_tab, dtype=np.float64)
 
-        # circulant first row over (2 m_1, ..., 2 m_d): per-axis wrapped
-        # offsets; the Nyquist planes (index m_j) never contribute to
-        # the cropped corner block, so their (clipped) values are moot
-        wrap = [np.clip(np.minimum(np.arange(2 * m),
-                                   2 * m - np.arange(2 * m)), 0, m - 1)
-                for m in ms]
-        c = self._k_tab[np.ix_(*wrap)]
-        self._chat = jnp.fft.rfftn(
-            jnp.asarray(c, dtype=dtype), axes=tuple(range(d)))
+        self._chat = circulant_rfft(self._k_tab.astype(
+            jnp.dtype(dtype).name), ms, dtype)
 
         self.n, self.nu = n, float(nu)
-        self.ms = tuple(int(m) for m in ms)
+        self.ms = ms
         self.dtype = dtype
         self._n = n
         self.jit_operands = (self._chat, self._to_raster,
@@ -402,13 +458,7 @@ class GridMaternOperator:
         if exponent == 0 or exponent == 1:
             return jnp.asarray(float(self._n), dtype=self.dtype)
         if exponent == 2:
-            w = self._k_tab ** 2
-            for j, m in enumerate(self.ms):
-                fac = np.where(np.arange(m) == 0, 1.0, 2.0) * (
-                    m - np.arange(m))
-                w = np.tensordot(fac, w, axes=([0], [0])) \
-                    if w.ndim > 1 else float(fac @ w)
-            return float(w)
+            return float(grid_trace_pow2(self._k_tab, self.ms))
         raise ValueError("exponent must be 0, 1 or 2")
 
 

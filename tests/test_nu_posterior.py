@@ -107,3 +107,40 @@ def test_profile_posterior_rho_nu_smoke(problem_small):
     assert np.all(np.isfinite(s))
     assert np.all((s[..., 1] >= 1.0) & (s[..., 1] <= 25.0))
     assert float(np.mean(np.asarray(res.accept_rate))) > 0.2
+
+
+def test_artifact_marginals_match_golden_surface():
+    """Distributional validation of the shipped profiled-(rho, nu)
+    sampler artifact against the exp-normalized golden with-prior
+    surface (VERDICT r4 item 3): the raw chains must reproduce the
+    golden MARGINALS (quantiles + binned TV) — the golden-MAP recovery
+    claim belongs to the deterministic refinement, which the artifact
+    records separately in map_refined."""
+    import os
+    import pickle
+
+    from drivers.sample_posterior import (_marginal_validation,
+                                          golden_marginals)
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "profile_posterior_rho_nu.pickle")
+    gold_path = "/root/reference/data/OptimalCovariance_WithPrior.pickle"
+    if not (os.path.exists(path) and os.path.exists(gold_path)):
+        pytest.skip("artifact or golden surface not present")
+    with open(path, "rb") as f:
+        art = pickle.load(f)
+    flat = np.asarray(art["samples"]).reshape(-1, 2)
+    gold = golden_marginals(gold_path)
+    v = _marginal_validation(10.0 ** flat[:, 0], flat[:, 1], gold)
+    # rho: golden support is [0.1, 0.3] — quartiles must agree to a few
+    # grid cells; nu: the ridge is flat (< 0.5 nat), marginal broad —
+    # quartiles within ~12% of the [1, 25] range, TV modest
+    assert v["quantiles"]["rho"]["max_abs_diff"] < 0.08, v
+    assert v["quantiles"]["nu"]["max_abs_diff"] < 3.0, v
+    assert v["tv_rho"] < 0.2, v
+    assert v["tv_nu"] < 0.2, v
+    # regenerated artifacts carry convergence diagnostics
+    if "diagnostics" in art:
+        for name in ("log10_rho", "nu"):
+            assert art["diagnostics"][name]["rhat"] < 1.2
+            assert art["diagnostics"][name]["ess"] > 30
