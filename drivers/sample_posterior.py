@@ -357,14 +357,16 @@ def main_profile_rho_nu(num_points=30, noise=0.2, num_chains=4,
 
 def main_rho_nu_large(side=317, noise=0.2, num_chains=64,
                       num_samples=200, num_warmup=150,
-                      num_rho_nodes=8, num_nu_nodes=8,
+                      num_rho_nodes=9, num_nu_nodes=9,
                       lanczos_steps=48, num_probes=16,
                       log10_rho_bounds=(-1.2, -0.3),
                       nu_bounds=(1.0, 25.0),
-                      log10_eta_bounds=(-2.0, 4.0),
+                      log10_eta_bounds=(0.5, 4.0),
                       probe_points=((1.6, -0.55, 2.0),
                                     (1.9, -0.75, 6.0),
-                                    (1.3, -0.45, 14.0)),
+                                    (1.3, -0.45, 14.0),
+                                    (0.8, -0.35, 20.0),
+                                    (2.5, -1.1, 1.2)),
                       results_path="data/posterior_rho_nu_n100k.pickle",
                       verbose=True):
     """Full (eta, rho, nu) posterior at n ~ 100k (VERDICT r4 item 2):

@@ -125,7 +125,7 @@ def measure_sampler(n_devices, num_chains=64, num_samples=100,
     return num_chains * num_samples / wall, surface
 
 
-def main_artifact(n_step=32768, num_chains=64,
+def main_artifact(n_step=8192, num_chains=64,
                   out_path="data/scaling_virtual_mesh.json",
                   verbose=True):
     """The VERDICT r4 item 9/6 artifact: (a) chains-over-mesh HMC

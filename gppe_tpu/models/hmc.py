@@ -464,8 +464,8 @@ def sample_posterior_rho_nu_large(points, z, X, num_chains=64,
                                   num_samples=500, num_warmup=300,
                                   num_leapfrog=16, key=0,
                                   log_prior="reference", mesh=None,
-                                  log10_eta_bounds=(-3.0, 3.0),
-                                  log10_rho_bounds=(-1.0, -0.4),
+                                  log10_eta_bounds=(0.5, 4.0),
+                                  log10_rho_bounds=(-1.2, -0.3),
                                   nu_bounds=(1.0, 25.0),
                                   surface=None, surface_kwargs=None,
                                   resume_state=None, verbose=False):

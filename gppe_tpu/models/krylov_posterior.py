@@ -63,12 +63,26 @@ def _cholesky_solve_small(A, b):
     f32-only, and this path runs in f64 (see _node_stats).
     """
     m = A.shape[-1]
+    # relative pivot floor: a Krylov-approximated Gram at a numerically
+    # sick node (near-rank-deficient kernel) can lose PD-ness to f32
+    # truncation noise and hand this factorization a negative pivot —
+    # sqrt would NaN, and ONE NaN node poisons every surface evaluation
+    # through the (global) barycentric interpolation. 1e-12 of the max
+    # diagonal is far below any healthy pivot (those bottom out at the
+    # ~1e-7 f32-noise scale), so healthy nodes are bit-identical; a sick
+    # node gets a bounded, finite (wrong-but-local) logdet instead of
+    # NaN-ing the whole surface. (A trace-relative jitter was tried and
+    # rejected: it perturbs ill-conditioned HEALTHY nodes measurably —
+    # 0.15 nat at n = 144, tens of nats at high eta via cond(B).)
+    diag_max = jnp.max(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)),
+                       axis=-1)
+    floor = 1e-12 * jnp.maximum(diag_max, 1e-300)
     cols = []
     for j in range(m):
         prev = [cols[i][..., j] for i in range(j)]
         d = A[..., j, j] - sum((p * p for p in prev),
                                jnp.zeros_like(A[..., j, j]))
-        d = jnp.sqrt(d)
+        d = jnp.sqrt(jnp.maximum(d, floor))
         col = [jnp.zeros_like(d)] * j + [d]
         for r in range(j + 1, m):
             off = A[..., r, j]
@@ -520,12 +534,32 @@ class KrylovPosteriorSurfaceRhoNu(KrylovPosteriorSurface):
     Probe vectors are SHARED across all nodes: the MC error is one
     smooth deterministic sub-nat field over the surface, not per-eval
     noise (same argument as the parent class docstring).
+
+    **Small-eta caveat (measured, n = 100489)**: at LARGE nu the kernel
+    spectrum collapses (nu = 18 at rho ~ 0.45: almost all eigenvalues
+    ~ 0), and SLQ logdet at eta << 1 is then dominated by the
+    unresolved near-zero spectral mass — the k-step quadrature puts
+    finite weight on a handful of clipped nodes and OVERESTIMATES lp by
+    thousands of nats (measured +5,900 at eta = 0.01 vs an exact-path
+    engine, while the bulk agrees to ~1 nat). A posterior box that
+    reaches into that corner funnels every chain there. Hence
+    ``make_bounded_log_posterior`` defaults the eta box to
+    (-0.5, 4.0): at the n this surface exists for, the posterior bulk
+    sits decades above the cutoff (eta* ~ 30-100 at the benchmark
+    configs), and the quadrature is trustworthy on the whole box —
+    verified by the driver's probe cross-validation
+    (drivers/sample_posterior.py main_rho_nu_large).
     """
 
     def __init__(self, points, z, X, log10_rho_bounds=(-1.0, -0.4),
                  nu_bounds=(1.0, 25.0), num_rho_nodes=9, num_nu_nodes=9,
-                 lanczos_steps=64, num_probes=24, key=0, dtype=None,
+                 lanczos_steps=48, num_probes=24, key=0, dtype=None,
                  verbose=False):
+        """``lanczos_steps`` default 48, deliberately NOT higher: at
+        n = 10^5 in f32, k = 64 measurably DEGRADED bulk accuracy
+        (+14 nats at a validated probe vs +-2 at k = 48) — once the
+        solve residuals hit the f32 floor, further steps only add
+        breakdown-noise Ritz values that pollute the CV quadrature."""
         from ..ops import operators
         from ..utils.config import (compute_dtype,
                                     ensure_inference_precision)
@@ -673,12 +707,15 @@ class KrylovPosteriorSurfaceRhoNu(KrylovPosteriorSurface):
 
         return log_post
 
-    def make_bounded_log_posterior(self, log10_eta_bounds=(-3.0, 3.0),
+    def make_bounded_log_posterior(self, log10_eta_bounds=(-0.5, 4.0),
                                    log_prior=None):
         """Unconstrained sigmoid-transformed target over the
         (log10 eta, log10 rho, nu) box — rho and nu boxes are the
         surface's node ranges (samples cannot leave the interpolated
-        region). Returns (log_post_u, u_to_theta)."""
+        region). The eta box default starts at -0.5: see the class
+        docstring's small-eta caveat (large-nu nodes make deep-small-eta
+        lp values quadrature artifacts that would pin every chain to
+        that corner). Returns (log_post_u, u_to_theta)."""
         log_post_theta = self.make_log_posterior(log_prior=log_prior)
         lo = jnp.asarray([log10_eta_bounds[0], self.log10_rho_bounds[0],
                           self.nu_bounds[0]], dtype=jnp.float64)

@@ -125,6 +125,46 @@ def _matmat_kernel(pr_ref, pc_ref, v_ref, out_ref, *, nu, d, dot_mode):
         out_ref[:] = out_ref[:] + acc
 
 
+def _matmat_kernel_gram(pr_ref, pc_ref, nr_ref, nc_ref, v_ref, out_ref, *,
+                        nu, d, dot_mode):
+    """Gram-form distance variant (roofline experiment, round 5):
+    d^2 = |x_r|^2 + |x_c|^2 - 2 x_r . x_c puts the O(TM TN d) pairwise
+    work on the MXU (one (TM, 8) x (8, TN) dot) instead of d
+    broadcast-subtract/FMA passes on the VPU — the fused matvec is
+    VPU/transcendental-bound (see ARCHITECTURE roofline), so shaving
+    VPU cycles per element is the only lever that moves it.
+
+    The price is CANCELLATION: |x|^2 ~ 50 after centering while d^2 can
+    be ~1e-6, so f32 rounding of the norm terms puts ~3e-6 absolute
+    error on d^2 — sqrt amplifies that to ~1.7e-3 on NEAR-COINCIDENT
+    pairs (exact-zero diagonals clamp to ~1e-3-distance kernel values).
+    Far pairs are unaffected. Opt-in via dist_mode='gram'; the default
+    difference form stays exact (1.5e-7 rel)."""
+    j = pl.program_id(1)
+
+    pr = pr_ref[:]            # (TM, 8) scaled, centered row points
+    pc = pc_ref[:]            # (8, TN) scaled, centered col points
+    # -2 x_r . x_c on the MXU; HIGHEST so the only error left is the
+    # norm-term rounding (the d <= 8 contraction is cheap regardless)
+    d2 = (nr_ref[:] + nc_ref[:]
+          - 2.0 * jnp.dot(pr, pc, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST))
+    d2 = jnp.maximum(d2, 0.0)
+    k_tile = _matern_tile(d2, nu)
+
+    acc = _tile_dot(k_tile, v_ref[:], dot_mode)
+
+    first = j == jnp.int32(0)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
 @functools.partial(jax.jit, static_argnames=("nu", "d", "tile_m", "tile_n",
                                               "dot_mode", "interpret"))
 def _matern_matmat_padded(pts_rows, pts_cols_t, V, nu, d, tile_m, tile_n,
@@ -161,14 +201,64 @@ def _matern_matmat_padded(pts_rows, pts_cols_t, V, nu, d, tile_m, tile_n,
     )(pts_rows, pts_cols_t, V)
 
 
+@functools.partial(jax.jit, static_argnames=("nu", "d", "tile_m", "tile_n",
+                                              "dot_mode", "interpret"))
+def _matern_matmat_padded_gram(pts_rows, pts_cols_t, nr, nc, V, nu, d,
+                               tile_m, tile_n, dot_mode, interpret=False):
+    """Gram-form distance variant: extra (nr_pad, 128) / (8, nc_pad)
+    norm inputs (row norms broadcast over a 128-lane tile, col norms on
+    the sublane axis — both native layouts, no in-kernel transposes)."""
+    n_pad = pts_rows.shape[0]
+    nc_pad = pts_cols_t.shape[1]
+    r_pad = V.shape[1]
+    grid = (n_pad // tile_m, nc_pad // tile_n)
+
+    kernel = functools.partial(_matmat_kernel_gram, nu=nu, d=d,
+                               dot_mode=dot_mode)
+
+    flops = 2 * n_pad * n_pad * (r_pad + d + 4)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, _SUBLANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, r_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, r_pad), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, r_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=4 * (n_pad + nc_pad) * (r_pad + 9),
+            transcendentals=n_pad * nc_pad),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(pts_rows, pts_cols_t, nr, nc, V)
+
+
 def matern_matmat(points, scale, V, nu, tile_m=None, tile_n=None,
-                  points_cols=None, dot_mode=None, interpret=False):
+                  points_cols=None, dot_mode=None, dist_mode="diff",
+                  interpret=False):
     """K @ V with K the Matern correlation — fused, K never materialized.
 
     ``points`` are the row points (nr, d); ``points_cols`` defaults to the
     same set (square K) but may differ — the rectangular form is the
     building block of the row-block-sharded multi-chip matvec
     (gppe_tpu.parallel). ``V``: (nc, r). Returns (nr, r) float32.
+
+    ``dist_mode``: 'diff' (default — exact broadcast-difference distance,
+    1.5e-7 rel) or 'gram' (|x|^2 + |y|^2 - 2 x.y on the MXU — shaves the
+    per-element VPU distance work off the transcendental-bound kernel at
+    the price of ~1e-3 kernel error on near-coincident pairs; see
+    _matmat_kernel_gram and the ARCHITECTURE roofline page).
 
     Traced with x64 disabled: global x64 mode leaks i64 grid indices into
     Mosaic, which fails to legalize them; this kernel is float32 by
@@ -177,9 +267,13 @@ def matern_matmat(points, scale, V, nu, tile_m=None, tile_n=None,
     tile_m = DEFAULT_TILE if tile_m is None else tile_m
     tile_n = DEFAULT_TILE if tile_n is None else tile_n
     dot_mode = DEFAULT_DOT_MODE if dot_mode is None else dot_mode
+    if dist_mode not in ("diff", "gram"):
+        raise ValueError(f"dist_mode must be 'diff' or 'gram'; got "
+                         f"{dist_mode}")
     with jax.enable_x64(False):
         return _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n,
-                                  points_cols, dot_mode, interpret)
+                                  points_cols, dot_mode, interpret,
+                                  dist_mode=dist_mode)
 
 
 def _pad_points(points, n_pad, d):
@@ -193,7 +287,7 @@ def _pad_points(points, n_pad, d):
 
 
 def _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n, points_cols,
-                       dot_mode, interpret=False):
+                       dot_mode, interpret=False, dist_mode="diff"):
     points = jnp.asarray(points, dtype=jnp.float32)
     scale = jnp.asarray(scale, dtype=jnp.float32)
     V = jnp.asarray(V, dtype=jnp.float32)
@@ -212,14 +306,31 @@ def _matern_matmat_f32(points, scale, V, nu, tile_m, tile_n, points_cols,
     # scaled, padded points; padded points sit far away and mutually
     # apart so their correlation to everything real is ~0, and padded V
     # rows are zero anyway.
-    pts_rows = _pad_points(points / scale, nr_pad, d)
-    pts_cols_t = _pad_points(pts_c / scale, nc_pad, d).T
+    scaled_rows = points / scale
+    scaled_cols = pts_c / scale
+    if dist_mode == "gram":
+        # center on the scaled column mean: distances are translation-
+        # invariant and smaller |x|^2 means less cancellation rounding
+        # in |x|^2 + |y|^2 - 2 x.y (see _matmat_kernel_gram)
+        center = jnp.mean(scaled_cols, axis=0, keepdims=True)
+        scaled_rows = scaled_rows - center
+        scaled_cols = scaled_cols - center
+    pts_rows = _pad_points(scaled_rows, nr_pad, d)
+    pts_cols_t = _pad_points(scaled_cols, nc_pad, d).T
 
     V_pad = jnp.zeros((nc_pad, r_pad), dtype=jnp.float32)
     V_pad = V_pad.at[:nc, :r].set(V)
 
-    out = _matern_matmat_padded(pts_rows, pts_cols_t, V_pad, float(nu),
-                                d, tile_m, tile_n, dot_mode, interpret)
+    if dist_mode == "gram":
+        nr_norm = jnp.sum(pts_rows * pts_rows, axis=1, keepdims=True)
+        nc_norm = jnp.sum(pts_cols_t * pts_cols_t, axis=0, keepdims=True)
+        out = _matern_matmat_padded_gram(
+            pts_rows, pts_cols_t, nr_norm, nc_norm, V_pad, float(nu), d,
+            tile_m, tile_n, dot_mode, interpret)
+    else:
+        out = _matern_matmat_padded(pts_rows, pts_cols_t, V_pad,
+                                    float(nu), d, tile_m, tile_n,
+                                    dot_mode, interpret)
     return out[:nr, :r]
 
 

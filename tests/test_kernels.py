@@ -157,3 +157,25 @@ def test_multirho_frobenius_output():
         np.testing.assert_allclose(np.asarray(out[b]),
                                    K @ V[b].astype(np.float64),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_gram_dist_mode_accuracy():
+    """dist_mode='gram' (MXU Gram-form distance, the roofline
+    experiment): must agree with f64 dense to the documented envelope —
+    ~1e-4 Frobenius-relative, with worst-case ~5e-3 absolute entries on
+    near-coincident pairs (sqrt amplification of the norm-term
+    cancellation; the default 'diff' form stays at ~1e-7/1e-5)."""
+    import numpy as np
+    from gppe_tpu.ops import pallas_kernels
+
+    rng = np.random.RandomState(5)
+    pts = rng.rand(640, 2).astype(np.float32)
+    V = rng.standard_normal((640, 4)).astype(np.float32)
+    d = np.sqrt(((pts[:, None, :].astype(np.float64)
+                  - pts[None, :, :].astype(np.float64)) ** 2).sum(-1)) / 0.1
+    want = np.exp(-d) @ V.astype(np.float64)
+    got = np.asarray(pallas_kernels.matern_matmat(
+        pts, 0.1, V, 0.5, dist_mode="gram", interpret=True))
+    frob = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert frob < 1e-3, frob
+    assert np.max(np.abs(got - want)) < 2e-2
