@@ -453,7 +453,14 @@ def sec_pallas_matvec(state):
 def sec_grid_krylov(state, num_points=8):
     """Matrix-free grid-batched Krylov at n=100k: amortized setup
     seconds/point over one multi-rho chunk (the reference rebuilds its
-    whole precompute per grid point)."""
+    whole precompute per grid point).
+
+    k = 32 (r5): the chunk profile (data/grid_chunk_profile.json,
+    ARCHITECTURE "Grid-chunk economics") showed the cost is ~0.72 s per
+    Lanczos step of 128-lane-padded MXU dots — reorthogonalization and
+    the f64 sums are noise — so steps are the only random-points lever;
+    the structured-grid FFT chunk below is the real fix and is reported
+    alongside."""
     from gppe_tpu.models.grid_krylov import GridKrylovProfileLikelihood
     from gppe_tpu.utils import data as data_utils
 
@@ -467,7 +474,7 @@ def sec_grid_krylov(state, num_points=8):
 
     t0 = time.perf_counter()
     g = GridKrylovProfileLikelihood(pts, X, z, rhos, nus, nu_static=0.5,
-                                    lanczos_steps=40, num_probes=8,
+                                    lanczos_steps=32, num_probes=8,
                                     matrix_free=True, chunk=num_points)
     setup_s = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -484,6 +491,53 @@ def sec_grid_krylov(state, num_points=8):
                           if warm > 0 else None),
           "points": num_points, "fit_all_seconds": round(fit_s, 2),
           "best_rho": round(float(best["rho"]), 4)})
+
+    # structured-grid variant: batched circulant-FFT factorization —
+    # O(n log n) per node at ANY nu (every reference benchmark config
+    # is a regular grid). Same engine the (rho, nu) posterior surface
+    # uses (models.krylov_posterior._factorize_fft_chunk).
+    if _remaining() < 60.0:
+        emit({"metric": "bench_skipped_grid_fft",
+              "value": round(_remaining(), 1), "unit": "s-remaining",
+              "vs_baseline": None})
+        return
+    import jax.numpy as jnp
+
+    from gppe_tpu.models.krylov_posterior import _factorize_fft_chunk
+    from gppe_tpu.ops import operators as ops_operators
+
+    pts_g = data_utils.generate_points(317, dimension=2)   # n = 100489
+    z_g = data_utils.generate_data(pts_g, 0.2)
+    X_g = data_utils.generate_basis_functions(pts_g, 2)
+    ms, hs, to_r, from_r = ops_operators.grid_geometry(pts_g)
+    base = ops_operators.grid_distance_table(ms, hs, 1.0)
+    from gppe_tpu.ops import kernels as ops_kernels
+    k_tabs = np.stack([np.asarray(ops_kernels.matern(
+        jnp.asarray(base / r), 0.5)) for r in rhos])
+    chat_b = ops_operators.circulant_rfft(
+        k_tabs.astype(np.float32), ms, jnp.float32)
+    tk2 = ops_operators.grid_trace_pow2(k_tabs, ms)
+    A = np.concatenate([z_g[:, None], X_g], axis=1)
+    rng2 = np.random.RandomState(1)
+    AB = jnp.asarray(np.concatenate(
+        [A, rng2.standard_normal((A.shape[0], 1)),
+         rng2.choice([-1.0, 1.0], size=(A.shape[0], 8))],
+        axis=1), jnp.float32)
+    s = A.shape[1]
+    args = (chat_b, jnp.asarray(to_r), jnp.asarray(from_r),
+            jnp.asarray(tk2, jnp.float32), AB, 32, s, ms)
+    import jax
+    jax.block_until_ready(_factorize_fft_chunk(*args))   # compile+warm
+    t0 = time.perf_counter()
+    out = _factorize_fft_chunk(*args)
+    jax.block_until_ready(out)
+    fft_s = time.perf_counter() - t0
+    emit({"metric": "grid_fft_setup_s_per_point_n100k",
+          "value": round(fft_s / num_points, 2), "unit": "s",
+          "vs_baseline": (round(warm / (fft_s / num_points), 2)
+                          if warm > 0 else None),
+          "points": num_points, "exact": True,
+          "note": "structured grid, any nu (circulant-FFT matvecs)"})
 
 
 def sec_posterior_large(state, num_chains=64, num_samples=200,

@@ -2,15 +2,24 @@
 (VERDICT r4 item 5: amortization measured 1.9x, design claim ~5x — find
 where the chunk time actually goes).
 
-Phases isolated by running progressively larger subsets of the chunk
-program as standalone jitted chains (steady state inside one program —
-independent dispatches overlap on the tunneled backend and under-read):
+Phases isolated by running VARIANTS of the full Lanczos program and
+differencing (measured finding: on the tunneled backend,
+block_until_ready on small standalone programs returns early — a bare
+40-matvec chain "timed" at 0.000 s while the same matvecs inside the
+Lanczos program cost ~29 s — so only wall times of big programs and
+DELTAS between program variants are trustworthy):
 
-  matvec    — k multirho Pallas matvecs alone (the design-claim cost)
-  lanczos   — full Lanczos (matvec + 3-term recurrence + reorth) on the
-              same block, reorthogonalize on/off
-  full      — _factorize_chunk_matrixfree (adds tk2 pass, f64-accumulated
-              U/G/P projections, host transfer)
+  lanczos(ps, reorth) — the batched factorization program with
+      precise_sums / reorthogonalization toggled; deltas isolate the
+      f64-emulated coefficient sums and the reorth basis traffic
+  full — _factorize_chunk_matrixfree (adds the tk2 pass,
+      f64-accumulated U/G/P projections, host transfer)
+
+Measured r5 (n=100k, B=8, k=40, C=16): lanczos 28.8-29.0 s of the
+~30-31 s total; reorth delta 0.22 s, precise-sums delta ~0.01 s,
+projections+transfer ~1.1 s. The dominant cost is the multirho matvec
+itself at ~0.72 s/step — 128-lane-padded MXU dots (16 real columns per
+node), see ARCHITECTURE "Grid-chunk economics".
 
 Writes data/grid_chunk_profile.json.
 """
@@ -73,21 +82,7 @@ def main(n=100_000, num_points=8, k=40, num_probes=8,
             print(f"{label}: {dt:.3f}s")
         return dt
 
-    # --- phase 1: k multirho matvecs alone (dependent chain) -----------
-    @functools.partial(jax.jit, static_argnames=("steps",))
-    def matvec_chain(pts_d, rhos_d, W, steps):
-        def body(i, W):
-            Wn = pallas_kernels.matern_matmat_multirho(pts_d, rhos_d, W,
-                                                       0.5)
-            nrm = jnp.sqrt(jnp.sum(Wn * Wn, axis=1, keepdims=True))
-            return Wn / jnp.maximum(nrm, 1e-30)
-        return jax.lax.fori_loop(0, steps, body, W)
-
-    W0 = jnp.transpose(jnp.tile(AB[:, None, :], (1, B, 1)),
-                       (1, 0, 2))                   # (B, n, C)
-    timed("matvec_only_k_steps", matvec_chain, pts_d, rhos_d, W0, k)
-
-    # --- phase 2: full batched Lanczos, reorth on/off -------------------
+    # --- Lanczos program variants (deltas isolate components) -----------
     def mv_flat(Q):
         Qb = jnp.transpose(Q.reshape(n, B, C), (1, 0, 2))
         Wb = pallas_kernels.matern_matmat_multirho(pts_d, rhos_d, Qb, 0.5)
@@ -95,12 +90,13 @@ def main(n=100_000, num_points=8, k=40, num_probes=8,
                              (1, 0, 2)).reshape(n, B * C)
 
     flat0 = jnp.tile(AB[:, None, :], (1, B, 1)).reshape(n, B * C)
-    for reo in (True, False):
-        f = functools.partial(stochastic.lanczos, mv_flat, flat0, k,
-                              reorthogonalize=reo)
-        timed(f"lanczos_reorth_{reo}", lambda f=f: f())
+    for ps in (True, False):
+        for reo in (True, False):
+            f = functools.partial(stochastic.lanczos, mv_flat, flat0, k,
+                                  reorthogonalize=reo, precise_sums=ps)
+            timed(f"lanczos_ps_{ps}_reorth_{reo}", lambda f=f: f())
 
-    # --- phase 3: the full chunk factorization --------------------------
+    # --- the full chunk factorization -----------------------------------
     def full():
         r = _factorize_chunk_matrixfree(
             pts_d, rhos_d, jnp.asarray(nus, dtype), AB, k, s, 0.5, True,
@@ -109,13 +105,17 @@ def main(n=100_000, num_points=8, k=40, num_probes=8,
 
     timed("full_factorize_chunk", full)
     out["s_per_point_full"] = round(out["full_factorize_chunk"] / B, 3)
+    base = out["lanczos_ps_True_reorth_True"]
     out["derived"] = {
-        "reorth_cost": round(out["lanczos_reorth_True"]
-                             - out["lanczos_reorth_False"], 3),
-        "recurrence_cost": round(out["lanczos_reorth_False"]
-                                 - out["matvec_only_k_steps"], 3),
+        "reorth_cost": round(base - out["lanczos_ps_True_reorth_False"],
+                             3),
+        "precise_sums_cost": round(base
+                                   - out["lanczos_ps_False_reorth_True"],
+                                   3),
+        "matvec_plus_recurrence_per_step": round(
+            out["lanczos_ps_False_reorth_False"] / k, 3),
         "projection_and_transfer": round(out["full_factorize_chunk"]
-                                         - out["lanczos_reorth_True"], 3),
+                                         - base, 3),
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)

@@ -535,20 +535,25 @@ class KrylovPosteriorSurfaceRhoNu(KrylovPosteriorSurface):
     smooth deterministic sub-nat field over the surface, not per-eval
     noise (same argument as the parent class docstring).
 
-    **Small-eta caveat (measured, n = 100489)**: at LARGE nu the kernel
-    spectrum collapses (nu = 18 at rho ~ 0.45: almost all eigenvalues
-    ~ 0), and SLQ logdet at eta << 1 is then dominated by the
-    unresolved near-zero spectral mass — the k-step quadrature puts
-    finite weight on a handful of clipped nodes and OVERESTIMATES lp by
-    thousands of nats (measured +5,900 at eta = 0.01 vs an exact-path
-    engine, while the bulk agrees to ~1 nat). A posterior box that
-    reaches into that corner funnels every chain there. Hence
-    ``make_bounded_log_posterior`` defaults the eta box to
-    (-0.5, 4.0): at the n this surface exists for, the posterior bulk
-    sits decades above the cutoff (eta* ~ 30-100 at the benchmark
-    configs), and the quadrature is trustworthy on the whole box —
-    verified by the driver's probe cross-validation
-    (drivers/sample_posterior.py main_rho_nu_large).
+    **Small-eta trust region (measured, n = 100489, f64 oracles)**: the
+    f32 Krylov factorization biases lp HIGH in the smooth-kernel
+    moderate-eta regime — zMz is a Gauss-quadrature LOWER bound whose
+    k-step f32 truncation under-resolves clustered spectra (nu >= 8,
+    rho ~ 0.4: lam_max ~ 2.5e4 vs eta ~ 1-3). Measured against f64 CPU
+    oracles (k = 160, no f32 floor): ~+11-14 nats at eta ~ 3, ~+27-37
+    at eta ~ 1-1.8, exploding to +1000s of nats by eta ~ 0.01 (the SLQ
+    logdet additionally cannot represent the unresolved near-zero
+    spectral mass there); the eta >= 10 bulk agrees within ~3 nats.
+    Raising k does NOT help — k = 64 measurably DEGRADED bulk accuracy
+    (breakdown-noise Ritz values past the f32 solve floor; k = 112 f32
+    NaNs outright where the f64 k = 160 oracle is fine. Hence
+    ``make_bounded_log_posterior`` defaults the eta box to (-0.5, 4.0)
+    and the n = 100k driver clips at +0.5; chains that concentrate at
+    that edge may be reflecting a REAL mode just outside/at the edge
+    (at the benchmark dataset the f64 oracle puts the true mode near
+    eta ~ 1-3, ~27 nats above the eta ~ 40 ridge) with bias-inflated
+    sharpness — the driver artifact records the f64 comparison
+    (data/posterior_rho_nu_n100k.pickle: f64_oracle_validation).
     """
 
     def __init__(self, points, z, X, log10_rho_bounds=(-1.0, -0.4),
