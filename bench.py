@@ -366,18 +366,32 @@ def sec_fft_exact(state):
     operator (r4): the reference's 10,032 s number is a TAPERED
     APPROXIMATION — this is the exact answer, at any nu, in O(n log n)
     per matvec. The closed-form and a general (Bessel) nu both run."""
+    import jax
+
     from gppe_tpu.models.large_scale import KrylovProfileLikelihood
     from gppe_tpu.ops import operators
     from gppe_tpu.utils import data as data_utils
 
+    # the 2^20 Lanczos basis plus its reorthogonalization temporaries
+    # need most of HBM; earlier sections' cached executables pin their
+    # bound constants — drop them (the persistent compile cache reloads
+    # later shapes from disk in seconds), collect, and keep the basis
+    # at (48, 2^20, 20) ~ 3.8 GB (k=64/p=16 was 6.4 GB and the r5
+    # shakeout OOM'd here, poisoning every subsequent section).
+    import gc
+
     pts = data_utils.generate_points(1024, dimension=2)     # n = 2^20
     z = data_utils.generate_data(pts, 0.2)
     X = data_utils.generate_basis_functions(pts, 2)
+    r = None
     for nu, ref_s in ((0.5, 10032.0), (2.2, None)):
+        del r
+        gc.collect()
+        jax.clear_caches()
         t0 = time.perf_counter()
         op = operators.GridMaternOperator(pts, 0.005, nu=nu)
-        eng = KrylovProfileLikelihood(op, X, z, lanczos_steps=64,
-                                      num_probes=16)
+        eng = KrylovProfileLikelihood(op, X, z, lanczos_steps=48,
+                                      num_probes=12)
         r = eng.fit()
         total = time.perf_counter() - t0
         emit({"metric": f"fft_exact_derivative_total_seconds_n1048576_nu{nu}",
@@ -557,6 +571,12 @@ def sec_posterior_large(state, num_chains=64, num_samples=200,
     z = data_utils.generate_data(pts, 0.2)
     X = data_utils.generate_basis_functions(pts, 2)
 
+    # surface construction holds a multi-GB Lanczos basis; free earlier
+    # sections' pinned executables first (see sec_fft_exact)
+    import gc
+    gc.collect()
+    jax.clear_caches()
+
     t0 = time.perf_counter()
     res, surface = hmc.sample_posterior_large(
         pts, z, X, nu=0.5, num_chains=num_chains, num_samples=1,
@@ -658,10 +678,14 @@ CORE_SECTIONS = [
     ("grid_krylov", 90.0, sec_grid_krylov),
 ]                                                  # sum = 1000 s
 
+# Optional estimates are WORST-CASE measured values (r5 shakeout on a
+# slow tunnel hour: posterior_large ran ~450 s against a 260 s
+# estimate and the run ended in the watchdog — optional sections must
+# skip cleanly on slow days, not gamble the budget).
 OPTIONAL_SECTIONS = [
-    ("posterior_large", 260.0, sec_posterior_large),  # BASELINE config 5
-    ("n4096", 120.0, sec_n4096),
-    ("hmc_n900_c64", 120.0, sec_hmc_n900_c64),
+    ("posterior_large", 500.0, sec_posterior_large),  # BASELINE config 5
+    ("n4096", 130.0, sec_n4096),
+    ("hmc_n900_c64", 220.0, sec_hmc_n900_c64),
 ]
 
 

@@ -530,3 +530,56 @@ def sample_posterior_large(points, z, X, nu=0.5, num_chains=64,
     res = nuts_sample(log_post, init, k_run, num_samples=num_samples,
                       num_warmup=num_warmup, max_depth=max_depth)
     return res._replace(samples=u_to_theta(res.samples)), surface
+
+
+def sample_posterior_rho_nu_large(points, z, X, num_chains=64,
+                                  num_samples=500, num_warmup=300,
+                                  max_depth=8, key=0,
+                                  log_prior="reference", mesh=None,
+                                  log10_eta_bounds=(0.5, 4.0),
+                                  log10_rho_bounds=(-1.2, -0.3),
+                                  nu_bounds=(1.0, 25.0),
+                                  surface=None, surface_kwargs=None,
+                                  resume_state=None, verbose=False):
+    """NUTS over the FULL (log10 eta, log10 rho, nu) posterior at LARGE
+    n — the adaptive-trajectory counterpart of
+    hmc.sample_posterior_rho_nu_large, on the same tensor-node FFT
+    surface (models.krylov_posterior.KrylovPosteriorSurfaceRhoNu;
+    regular-grid points). All O(n log n) work amortizes into the
+    surface; every tree leaf afterwards is n-independent Ritz math.
+    See the surface class docstring for the eta-box trust region.
+    Returns ``(NUTSResult, surface)`` with samples (S, C, 3)."""
+    from .krylov_posterior import KrylovPosteriorSurfaceRhoNu
+    from .priors import inverse_square_log_prior
+
+    if log_prior == "reference":
+        def log_prior(eta, rho, nu):  # noqa: F811
+            return (inverse_square_log_prior(rho)
+                    + inverse_square_log_prior(nu, scale=25.0))
+
+    if surface is None:
+        surface = KrylovPosteriorSurfaceRhoNu(
+            points, z, X, log10_rho_bounds=log10_rho_bounds,
+            nu_bounds=nu_bounds, verbose=verbose,
+            **(surface_kwargs or {}))
+    log_post, u_to_theta = surface.make_bounded_log_posterior(
+        log10_eta_bounds=log10_eta_bounds, log_prior=log_prior)
+
+    if resume_state is not None:
+        res = resume_nuts(log_post, resume_state, num_samples,
+                          max_depth=max_depth)
+        return res._replace(samples=u_to_theta(res.samples)), surface
+
+    rng = jax.random.PRNGKey(key)
+    k_init, k_run = jax.random.split(rng)
+    init = 0.5 * jax.random.normal(k_init, (num_chains, 3),
+                                   dtype=jnp.float64)
+    if mesh is not None:
+        from ..parallel.mesh import PROBE_AXIS
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(PROBE_AXIS, None))
+        init = jax.device_put(init, sharding)
+
+    res = nuts_sample(log_post, init, k_run, num_samples=num_samples,
+                      num_warmup=num_warmup, max_depth=max_depth)
+    return res._replace(samples=u_to_theta(res.samples)), surface

@@ -140,3 +140,22 @@ def test_non_grid_points_rejected():
         KrylovPosteriorSurfaceRhoNu(pts, z, X, num_rho_nodes=3,
                                     num_nu_nodes=3, lanczos_steps=8,
                                     num_probes=4)
+
+
+def test_nuts_rho_nu_large(dataset, surface):
+    """NUTS on the 3-D surface (adaptive-trajectory parity with the HMC
+    path): healthy acceptance statistic, finite in-box samples, no
+    divergences on the smooth interpolated target."""
+    from gppe_tpu.models import nuts
+
+    pts, z, X = dataset
+    res, _ = nuts.sample_posterior_rho_nu_large(
+        pts, z, X, surface=surface, num_chains=4, num_samples=60,
+        num_warmup=60, max_depth=7, log10_eta_bounds=(-2.0, 3.0),
+        log_prior=None, key=9)
+    acc = float(np.asarray(res.accept_rate).mean())
+    assert 0.5 < acc <= 1.0
+    s = np.asarray(res.samples).reshape(-1, 3)
+    assert np.all(np.isfinite(s))
+    assert np.all((s[:, 2] >= 1.0) & (s[:, 2] <= 25.0))
+    assert int(np.asarray(res.divergences).sum()) == 0
