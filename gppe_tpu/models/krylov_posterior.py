@@ -559,18 +559,30 @@ class KrylovPosteriorSurfaceRhoNu(KrylovPosteriorSurface):
     def __init__(self, points, z, X, log10_rho_bounds=(-1.0, -0.4),
                  nu_bounds=(1.0, 25.0), num_rho_nodes=9, num_nu_nodes=9,
                  lanczos_steps=48, num_probes=24, key=0, dtype=None,
-                 verbose=False):
-        """``lanczos_steps`` default 48, deliberately NOT higher: at
-        n = 10^5 in f32, k = 64 measurably DEGRADED bulk accuracy
-        (+14 nats at a validated probe vs +-2 at k = 48) — once the
-        solve residuals hit the f32 floor, further steps only add
-        breakdown-noise Ritz values that pollute the CV quadrature."""
+                 node_dtype=None, verbose=False):
+        """``lanczos_steps`` default 48, deliberately NOT higher in f32:
+        at n = 10^5, k = 64 measurably DEGRADED bulk accuracy (+14 nats
+        at a validated probe vs +-2 at k = 48) — once the solve
+        residuals hit the f32 floor, further steps only add
+        breakdown-noise Ritz values that pollute the CV quadrature.
+
+        ``node_dtype``: dtype of the per-node Lanczos factorizations
+        (default: the compute dtype — f32 on TPU). Pass ``jnp.float64``
+        to run the node factorizations on the HOST CPU in native f64
+        through the same FFT matvecs: removes the f32 truncation bias
+        entirely (the class docstring's trust region collapses to the
+        genuine small-eta SLQ limit), at O(minutes) of host time per
+        ~100-node surface at n ~ 10^5 — the accuracy-critical option
+        for posterior work near the smooth-kernel mode. f64 also makes
+        higher k safe (no f32 breakdown-noise wall)."""
         from ..ops import operators
-        from ..utils.config import (compute_dtype,
+        from ..utils.config import (compute_dtype, host_device,
                                     ensure_inference_precision)
 
         ensure_inference_precision()
         dtype = dtype or compute_dtype()
+        node_dtype = jnp.dtype(node_dtype or dtype)
+        f64_nodes = node_dtype == jnp.float64
         pts = np.asarray(points, dtype=np.float64)
         z = np.asarray(z, dtype=np.float64)
         X = np.asarray(X, dtype=np.float64)
@@ -605,49 +617,60 @@ class KrylovPosteriorSurfaceRhoNu(KrylovPosteriorSurface):
         k_tabs = _matern_tables_host(base_dist, rho_flat, nu_flat,
                                      verbose=verbose)    # (B, *ms) f64
         tk2 = operators.grid_trace_pow2(k_tabs, ms)       # (B,)
-        chat_b = operators.circulant_rfft(
-            k_tabs.astype(jnp.dtype(dtype).name), ms, dtype)
-        to_r = jnp.asarray(to_raster)
-        from_r = jnp.asarray(from_raster)
 
-        # --- shared data block (same layout as the parent class) ------
-        A = np.concatenate([z[:, None], X], axis=1)
-        rhs_norms = np.linalg.norm(A, axis=0)
-        k_probe, k_defl = jax.random.split(jax.random.PRNGKey(key))
-        probes = jax.random.rademacher(
-            k_probe, (self.n, self.p), dtype=dtype)
-        v_defl = jax.random.normal(k_defl, (self.n, 1), dtype=dtype)
-        AB = jnp.concatenate(
-            [jnp.asarray(A, dtype=dtype), v_defl, probes], axis=1)
-        probe_norm2 = np.full(self.p, float(self.n))
-        C = AB.shape[1]
+        import contextlib
+        node_device = (jax.default_device(host_device()) if f64_nodes
+                       else contextlib.nullcontext())
+        with node_device:
+            chat_b = operators.circulant_rfft(
+                k_tabs.astype(jnp.dtype(node_dtype).name), ms,
+                node_dtype)
+            to_r = jnp.asarray(to_raster)
+            from_r = jnp.asarray(from_raster)
 
-        # --- device: batched FFT Lanczos per node chunk ----------------
-        itemsize = jnp.dtype(dtype).itemsize
-        bytes_per_node = self.k * self.n * C * itemsize
-        import os as _os
-        budget = int(_os.environ.get("GPPE_SURFACE_CHUNK_BYTES", 3 << 30))
-        node_chunk = max(1, budget // max(bytes_per_node, 1))
-        al_all = np.empty((B, C, self.k))
-        be_all = np.empty((B, C, self.k - 1))
-        U_all = np.empty((B, self.s, self.k, self.s))
-        G_all = np.empty((B, self.s, self.s, self.k, self.k))
-        P_all = np.empty((B, self.k, self.p))
-        for start in range(0, B, node_chunk):
-            stop = min(start + node_chunk, B)
-            if verbose:
-                print(f"rho-nu surface: nodes {start}..{stop - 1}/{B} "
-                      f"(n={self.n}, k={self.k}, fft)")
-            al, be, U, G, P, _ = _factorize_fft_chunk(
-                chat_b[start:stop], to_r, from_r,
-                jnp.asarray(tk2[start:stop], dtype=dtype), AB,
-                self.k, self.s, ms)
-            sl = slice(start, stop)
-            al_all[sl] = np.asarray(al, dtype=np.float64)
-            be_all[sl] = np.asarray(be, dtype=np.float64)
-            U_all[sl] = np.asarray(U, dtype=np.float64)
-            G_all[sl] = np.asarray(G, dtype=np.float64)
-            P_all[sl] = np.asarray(P, dtype=np.float64)
+            # --- shared data block (same layout as the parent) --------
+            A = np.concatenate([z[:, None], X], axis=1)
+            rhs_norms = np.linalg.norm(A, axis=0)
+            k_probe, k_defl = jax.random.split(jax.random.PRNGKey(key))
+            probes = jax.random.rademacher(
+                k_probe, (self.n, self.p), dtype=node_dtype)
+            v_defl = jax.random.normal(k_defl, (self.n, 1),
+                                       dtype=node_dtype)
+            AB = jnp.concatenate(
+                [jnp.asarray(A, dtype=node_dtype), v_defl, probes],
+                axis=1)
+            probe_norm2 = np.full(self.p, float(self.n))
+            C = AB.shape[1]
+
+            # --- batched FFT Lanczos per node chunk (on the node
+            # device: TPU for f32, host CPU for f64) -------------------
+            itemsize = jnp.dtype(node_dtype).itemsize
+            bytes_per_node = self.k * self.n * C * itemsize
+            import os as _os
+            budget = int(_os.environ.get("GPPE_SURFACE_CHUNK_BYTES",
+                                         3 << 30))
+            node_chunk = max(1, budget // max(bytes_per_node, 1))
+            al_all = np.empty((B, C, self.k))
+            be_all = np.empty((B, C, self.k - 1))
+            U_all = np.empty((B, self.s, self.k, self.s))
+            G_all = np.empty((B, self.s, self.s, self.k, self.k))
+            P_all = np.empty((B, self.k, self.p))
+            for start in range(0, B, node_chunk):
+                stop = min(start + node_chunk, B)
+                if verbose:
+                    print(f"rho-nu surface: nodes {start}..{stop - 1}"
+                          f"/{B} (n={self.n}, k={self.k}, fft"
+                          f"{', f64 host nodes' if f64_nodes else ''})")
+                al, be, U, G, P, _ = _factorize_fft_chunk(
+                    chat_b[start:stop], to_r, from_r,
+                    jnp.asarray(tk2[start:stop], dtype=node_dtype), AB,
+                    self.k, self.s, ms)
+                sl = slice(start, stop)
+                al_all[sl] = np.asarray(al, dtype=np.float64)
+                be_all[sl] = np.asarray(be, dtype=np.float64)
+                U_all[sl] = np.asarray(U, dtype=np.float64)
+                G_all[sl] = np.asarray(G, dtype=np.float64)
+                P_all[sl] = np.asarray(P, dtype=np.float64)
 
         self._build_ritz(al_all, be_all, U_all, G_all, P_all, tk2,
                          rhs_norms, probe_norm2)

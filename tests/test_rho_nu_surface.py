@@ -159,3 +159,22 @@ def test_nuts_rho_nu_large(dataset, surface):
     assert np.all(np.isfinite(s))
     assert np.all((s[:, 2] >= 1.0) & (s[:, 2] <= 25.0))
     assert int(np.asarray(res.divergences).sum()) == 0
+
+
+def test_node_dtype_f64_option(dataset):
+    """node_dtype=float64 routes node factorizations to the host CPU in
+    native f64 (on the CPU test backend this coincides with the default
+    compute dtype — the assertion here is that the routing path builds
+    and agrees; the accuracy payoff is measured on-chip in
+    data/posterior_rho_nu_n100k_f64.pickle)."""
+    pts, z, X = dataset
+    kw = dict(log10_rho_bounds=(-1.2, -0.6), nu_bounds=(1.0, 25.0),
+              num_rho_nodes=4, num_nu_nodes=4, lanczos_steps=24,
+              num_probes=8, key=3)
+    s_def = KrylovPosteriorSurfaceRhoNu(pts, z, X, **kw)
+    s_f64 = KrylovPosteriorSurfaceRhoNu(pts, z, X,
+                                        node_dtype=jnp.float64, **kw)
+    for le, lr, nu in [(0.5, -0.9, 2.5), (1.0, -1.0, 8.0)]:
+        a = float(s_def.profile_loglik(le, lr, nu))
+        b = float(s_f64.profile_loglik(le, lr, nu))
+        assert abs(a - b) < 0.2, (le, lr, nu, a, b)
