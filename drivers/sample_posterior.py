@@ -367,6 +367,7 @@ def main_rho_nu_large(side=317, noise=0.2, num_chains=64,
                                     (1.3, -0.45, 14.0),
                                     (0.8, -0.35, 20.0),
                                     (2.5, -1.1, 1.2)),
+                      node_dtype=None,
                       results_path="data/posterior_rho_nu_n100k.pickle",
                       verbose=True):
     """Full (eta, rho, nu) posterior at n ~ 100k (VERDICT r4 item 2):
@@ -406,7 +407,8 @@ def main_rho_nu_large(side=317, noise=0.2, num_chains=64,
         pts, z, X, log10_rho_bounds=log10_rho_bounds,
         nu_bounds=nu_bounds, num_rho_nodes=num_rho_nodes,
         num_nu_nodes=num_nu_nodes, lanczos_steps=lanczos_steps,
-        num_probes=num_probes, key=0, verbose=verbose)
+        num_probes=num_probes, key=0, node_dtype=node_dtype,
+        verbose=verbose)
     t_surface = time.perf_counter() - t0
 
     # --- probe cross-validation vs independent FFT-exact engines -------
@@ -465,6 +467,7 @@ def main_rho_nu_large(side=317, noise=0.2, num_chains=64,
                    "num_nu_nodes": num_nu_nodes,
                    "lanczos_steps": lanczos_steps,
                    "num_probes": num_probes,
+                   "node_dtype": str(node_dtype or "compute dtype"),
                    "log10_rho_bounds": tuple(log10_rho_bounds),
                    "nu_bounds": tuple(nu_bounds),
                    "log10_eta_bounds": tuple(log10_eta_bounds)},
@@ -496,10 +499,26 @@ if __name__ == "__main__":
     p.add_argument("--profile-rho-nu", action="store_true",
                    help="eta-profiled (rho, nu) sampler at the golden "
                         "config with distributional validation")
+    p.add_argument("--f64-nodes", action="store_true",
+                   help="with --rho-nu-large: factorize the surface "
+                        "nodes on the host CPU in native f64 (the "
+                        "accuracy-critical tier — sub-nat vs the f64 "
+                        "oracle incl. the smooth-kernel mode; ~50 min "
+                        "host time at n~1e5; pair with a wider eta box "
+                        "and data/posterior_rho_nu_n100k_f64.pickle "
+                        "settings)")
     a = p.parse_args()
     if a.rho_nu_large:
+        import jax.numpy as _jnp
+        kw = {}
+        if a.f64_nodes:
+            kw = dict(node_dtype=_jnp.float64,
+                      num_rho_nodes=8, num_nu_nodes=8,
+                      num_probes=12, log10_eta_bounds=(-0.5, 4.0),
+                      results_path="data/posterior_rho_nu_n100k_f64"
+                                   ".pickle")
         main_rho_nu_large(num_chains=a.num_chains,
-                          num_samples=a.num_samples)
+                          num_samples=a.num_samples, **kw)
     elif a.profile_rho_nu:
         main_profile_rho_nu(a.num_points, num_chains=a.num_chains,
                             num_samples=a.num_samples)
