@@ -195,9 +195,21 @@ if __name__ == "__main__":
                    help="matvec communication schedule")
     p.add_argument("--artifact", action="store_true",
                    help="produce data/scaling_virtual_mesh.json "
-                        "(sampler scaling + ring-vs-allgather)")
+                        "(sampler scaling + ring-vs-allgather) on the "
+                        "virtual 8-device CPU mesh")
     a = p.parse_args()
     if a.artifact:
+        # The axon TPU plugin's sitecustomize force-sets
+        # jax_platforms="axon,cpu", overriding the JAX_PLATFORMS env var —
+        # apply the same in-process override tests/conftest.py uses so the
+        # artifact is measured on the virtual 8-device CPU mesh it claims.
+        flags = _os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            _os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
         main_artifact()
     else:
         main(a.n, comm=a.comm)
